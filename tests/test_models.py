@@ -1,0 +1,108 @@
+"""Model shape/behavior tests vs the reference layer math
+(28→14→7→4, flatten 2048; 64→32→16→8→4→2, flatten 2048; reference vae.py, cnn.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clearvae_tpu.models.cnn import LAMCNN, LAMCNN64, SimpleCNN, SimpleCNN64, lam_head_weight
+from clearvae_tpu.models.mlp import ProbeMLP
+from clearvae_tpu.models.vae import VAE, VAE64
+
+
+def _init(model, x, **kwargs):
+    rngs = {"params": jax.random.key(0), "reparam": jax.random.key(1)}
+    return model.init(rngs, x, **kwargs)
+
+
+@pytest.mark.parametrize("cls,size,ch,z", [(VAE, 28, 1, 16), (VAE64, 64, 3, 64)])
+def test_vae_shapes(cls, size, ch, z):
+    m = cls(total_z_dim=z, in_channel=ch)
+    x = jnp.zeros((4, size, size, ch))
+    variables = _init(m, x)
+    (xh, lp), muts = m.apply(variables, x, rngs={"reparam": jax.random.key(2)},
+                             mutable=["batch_stats"])
+    assert xh.shape == x.shape
+    assert lp["mu_c"].shape == (4, z // 2)
+    assert float(xh.min()) >= 0.0 and float(xh.max()) <= 1.0  # final sigmoid
+    heads = m.apply(variables, x, train=False, method="encode")
+    assert all(h.shape == (4, z // 2) for h in heads)
+
+
+def test_vae_flatten_is_2048():
+    """Encoder trunk flatten width parity (reference Dense heads take 2048)."""
+    for cls, size, ch in [(VAE, 28, 1), (VAE64, 64, 3)]:
+        m = cls(total_z_dim=16, in_channel=ch)
+        variables = _init(m, jnp.zeros((2, size, size, ch)))
+        kernel = variables["params"]["mu_c_head"]["Dense_0"]["kernel"]
+        assert kernel.shape[0] == 2048
+
+
+def test_vae_explicit_returns_z():
+    m = VAE(total_z_dim=16)
+    x = jnp.zeros((4, 28, 28, 1))
+    variables = _init(m, x)
+    (xh, lp, z), _ = m.apply(variables, x, explicit=True,
+                             rngs={"reparam": jax.random.key(2)},
+                             mutable=["batch_stats"])
+    assert z.shape == (4, 16)
+
+
+def test_vae_grouped_forward():
+    m = VAE(total_z_dim=16, group_mode="MLVAE", n_classes=10)
+    x = jnp.zeros((6, 28, 28, 1))
+    label = jnp.asarray([0, 1, 0, 2, 1, 0])
+    rngs = {"params": jax.random.key(0), "reparam": jax.random.key(1)}
+    variables = m.init(rngs, x, label=label)
+    (xh, lp), _ = m.apply(variables, x, label=label,
+                          rngs={"reparam": jax.random.key(2)},
+                          mutable=["batch_stats"])
+    assert lp["mu_c"].shape == (10, 8)  # group params
+    assert lp["present"].sum() == 3
+
+
+def test_decode_only():
+    m = VAE(total_z_dim=16)
+    variables = _init(m, jnp.zeros((2, 28, 28, 1)))
+    xh = m.apply(variables, jnp.zeros((5, 16)), train=False, method="decode")
+    assert xh.shape == (5, 28, 28, 1)
+
+
+@pytest.mark.parametrize("cls,size,ch,nc", [
+    (SimpleCNN, 28, 1, 10), (SimpleCNN64, 64, 3, 4),
+    (LAMCNN, 28, 1, 10), (LAMCNN64, 64, 3, 4)])
+def test_cnn_shapes(cls, size, ch, nc):
+    m = cls(n_class=nc, in_channel=ch)
+    x = jnp.zeros((4, size, size, ch))
+    variables = m.init({"params": jax.random.key(0)}, x)
+    logits, _ = m.apply(variables, x, mutable=["batch_stats"])
+    assert logits.shape == (4, nc)
+    feats = m.apply(variables, x, train=False, method="features")
+    assert feats.shape == (4, 2048)
+
+
+def test_lam_head_weight_layout():
+    m = LAMCNN(n_class=10)
+    variables = m.init({"params": jax.random.key(0)}, jnp.zeros((2, 28, 28, 1)))
+    w = lam_head_weight(variables["params"])
+    assert w.shape == (10, 2048)  # torch [n_class, feat] layout
+
+
+def test_probe_mlp():
+    m = ProbeMLP(n_class=10)
+    variables = m.init({"params": jax.random.key(0)}, jnp.zeros((4, 8)))
+    logits, _ = m.apply(variables, jnp.zeros((4, 8)), mutable=["batch_stats"])
+    assert logits.shape == (4, 10)
+
+
+def test_batchnorm_updates_stats_in_train_only():
+    m = VAE(total_z_dim=16)
+    x = jax.random.normal(jax.random.key(5), (8, 28, 28, 1))
+    variables = _init(m, x)
+    _, muts = m.apply(variables, x, rngs={"reparam": jax.random.key(2)},
+                      mutable=["batch_stats"])
+    before = variables["batch_stats"]
+    after = muts["batch_stats"]
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), before, after)
+    assert max(jax.tree.leaves(diffs)) > 0

@@ -39,11 +39,14 @@ def accumulate_group_evidence(mu: Array, logvar: Array, label: Array,
     # per-class logsumexp over members, via masked max-shift: [C, B, z]
     def class_lse(values):  # values: [B, z] -> [C, z]
         big_neg = jnp.finfo(values.dtype).min
-        masked = jnp.where(onehot.T[:, :, None] > 0, values[None, :, :], big_neg)
+        member = onehot.T[:, :, None] > 0  # [C, B, 1]
+        masked = jnp.where(member, values[None, :, :], big_neg)
         m = jnp.max(masked, axis=1, keepdims=True)
-        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-        e = jnp.where(onehot.T[:, :, None] > 0,
-                      jnp.exp(values[None, :, :] - m_safe), 0.0)
+        # absent classes get m = finfo.min; zero it AND use the masked values
+        # inside exp so neither forward nor backward sees an inf
+        m_safe = jnp.where(present[:, None, None] & jnp.isfinite(m), m, 0.0)
+        e = jnp.where(member, jnp.exp(jnp.where(member, values[None, :, :],
+                                                m_safe) - m_safe), 0.0)
         s = jnp.sum(e, axis=1)
         return jnp.log(jnp.where(s > 0, s, 1.0)) + jnp.squeeze(m_safe, axis=1)
 

@@ -1,0 +1,50 @@
+"""Device-mesh data parallelism over ICI.
+
+The reference is strictly single-device (SURVEY §2.2); this module is the new
+TPU-native scaling layer. Design: a 1-D mesh with axis 'data'; the batch is
+sharded on its leading axis, model state replicated. Train steps stay free of
+explicit collectives — ``jax.jit`` + GSPMD inserts the gradient reductions
+and all-gathers the tiny [B, z] latents needed by the batch-global
+contrastive/MI losses, so data-parallel numerics are IDENTICAL to
+single-device (validated in tests/test_parallel.py). BatchNorm statistics are
+computed over the logically-global batch for the same reason (synced-BN
+semantics).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with leading axis sharded over the data axis."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate a pytree (TrainState) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), state)

@@ -1,0 +1,381 @@
+"""Trainer classes — thin host-side loops over the jitted step functions,
+mirroring the reference trainer hierarchy and its fit/evaluate API
+(reference: code/src/trainer.py:41-965).
+
+Each trainer drives a pure step; state lives in a TrainState; metrics print
+every ``verbose_period`` epochs like the reference's tqdm/print reporting.
+``fit`` returns loss histories where the reference does
+(TC → factor_d_losses, trainer.py:627; MIM → (mi_losses, mi_learning_losses),
+trainer.py:818).
+
+Under a device mesh (``mesh=`` argument) the batch is sharded across the
+'data' axis and params are replicated; XLA inserts the gradient psum and the
+latent all-gathers for the batch-global contrastive terms.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from clearvae_tpu import config as C
+from clearvae_tpu.models.factor import FactorCls
+from clearvae_tpu.models.mi_estimators import MI_ESTIMATORS
+from clearvae_tpu.models.mlp import ProbeMLP
+from clearvae_tpu.ops import metrics as MT
+from clearvae_tpu.parallel.mesh import shard_batch, replicate_state
+from clearvae_tpu.train import steps as S
+
+
+def _device_batch(batch, mesh):
+    x, label = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+    if mesh is not None:
+        x, label = shard_batch(mesh, x, label)
+    return x, label
+
+
+class VAETrainerBase:
+    """Shared fit/eval scaffolding (reference Trainer/VAETrainer,
+    trainer.py:41-92)."""
+
+    def __init__(self, model, verbose_period: int = 5, seed: int = 0,
+                 mesh=None, mig_backend: str = "numpy"):
+        self.model = model
+        self.verbose_period = verbose_period
+        self.seed = seed
+        self.mesh = mesh
+        self.mig_backend = mig_backend
+        self.state: Optional[S.TrainState] = None
+        self._rng = jax.random.key(seed)
+
+    # subclasses set: self.train_step, self.eval_step
+
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _init_state(self):
+        raise NotImplementedError
+
+    def _post_train_batch(self, metrics):
+        pass
+
+    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128):
+        if self.state is None:
+            self.state = self._init_state()
+        if self.mesh is not None:
+            self.state = replicate_state(self.mesh, self.state)
+        for epoch in range(epochs):
+            verbose = (epoch % self.verbose_period) == 0
+            last = {}
+            for batch in train_ds.batches(batch_size, shuffle=True,
+                                          seed=self.seed + epoch):
+                x, label = _device_batch(batch, self.mesh)
+                self.state, metrics = self.train_step(self.state, x, label,
+                                                      self._next_rng())
+                self._post_train_batch(metrics)
+                last = metrics
+            if verbose and last:
+                vals = {k: round(float(v), 3) for k, v in last.items()}
+                print(f"epoch {epoch}: {vals}")
+            if valid_ds is not None and verbose:
+                mig, mse = self.evaluate(valid_ds, batch_size=batch_size)
+                print(f"gMIG: {round(mig, 3)}; mse: {round(float(mse), 3)}")
+        return self._fit_result()
+
+    def _fit_result(self):
+        return None
+
+    def evaluate(self, ds, batch_size: int = 128):
+        """gMIG + reconstruction MSE over the dataset
+        (reference evaluate, trainer.py:495-570)."""
+        totals: dict = {}
+        labels, z_cs, z_ss = [], [], []
+        n_batches = 0
+        for batch in ds.batches(batch_size, shuffle=False):
+            x, label = _device_batch(batch, self.mesh)
+            out = self.eval_step(self.state, x, label, self._next_rng())
+            n_batches += 1
+            for k, v in out.items():
+                if np.ndim(v) == 0:
+                    totals[k] = totals.get(k, 0.0) + float(v)
+            labels.append(np.asarray(batch[1]))
+            z_cs.append(np.asarray(out["z_c"]))
+            z_ss.append(np.asarray(out["z_s"]))
+        labels = np.concatenate(labels)
+        z_c = np.concatenate(z_cs)
+        z_s = np.concatenate(z_ss)
+        mig = MT.mutual_info_gap(labels, z_c, z_s, backend=self.mig_backend)
+        mse = totals["recon"] / n_batches
+        self.last_eval_totals = {k: v / n_batches for k, v in totals.items()}
+        return mig, mse
+
+    def encode_dataset(self, ds, batch_size: int = 128, what: str = "mu_c"):
+        """Encode a dataset with the frozen model in eval mode; returns
+        (features, labels, styles)."""
+        feats, labels, styles = [], [], []
+        for batch in ds.batches(batch_size, shuffle=False):
+            x = jnp.asarray(batch[0])
+            heads = self.model.apply(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats}, x, train=False,
+                method="encode")
+            idx = {"mu_c": 0, "logvar_c": 1, "mu_s": 2, "logvar_s": 3}[what]
+            feats.append(np.asarray(heads[idx]))
+            labels.append(np.asarray(batch[1]))
+            if len(batch) > 2:
+                styles.append(np.asarray(batch[2]))
+        return (np.concatenate(feats), np.concatenate(labels),
+                np.concatenate(styles) if styles else None)
+
+
+class CLEARVAETrainer(VAETrainerBase):
+    """The core method (reference CLEARVAETrainer, trainer.py:415-570)."""
+
+    def __init__(self, model, optimizer: optax.GradientTransformation,
+                 sim_fn: str, hyperparameter: dict, verbose_period: int = 5,
+                 seed: int = 0, mesh=None, mig_backend: str = "numpy"):
+        super().__init__(model, verbose_period, seed, mesh, mig_backend)
+        self.tx = optimizer
+        self.hp = hyperparameter
+        anneal = C.AnnealConfig(beta=hyperparameter["beta"],
+                                loc=hyperparameter.get("loc", 0.0),
+                                scale=hyperparameter.get("scale", 1.0))
+        contr = C.ContrastiveConfig(
+            alpha=hyperparameter["alpha"],
+            temperature=hyperparameter["temperature"],
+            sim_fn=sim_fn, ps=hyperparameter.get("ps", True),
+            loss_name=hyperparameter.get("loss_name", "snn"))
+        self.anneal_cfg, self.contr_cfg = anneal, contr
+        self.train_step = S.make_clear_vae_step(model, self.tx, anneal, contr)
+        self.eval_step = S.make_clear_vae_eval_step(model, contr)
+
+    def _init_state(self):
+        size = 28 if type(self.model).__name__ == "VAE" else 64
+        return S.init_vae_state(self.model, self.tx, self._next_rng(), size,
+                                self.model.in_channel)
+
+
+class HierarchicalVAETrainer(VAETrainerBase):
+    """GVAE / ML-VAE (reference HierarchicalVAETrainer, trainer.py:291-412)."""
+
+    def __init__(self, model, optimizer, hyperparameter: dict,
+                 verbose_period: int = 5, seed: int = 0, mesh=None,
+                 mig_backend: str = "numpy", eval_evidence_acc: bool = False):
+        super().__init__(model, verbose_period, seed, mesh, mig_backend)
+        self.tx = optimizer
+        anneal = C.AnnealConfig(beta=hyperparameter["beta"],
+                                loc=hyperparameter.get("loc", 0.0),
+                                scale=hyperparameter.get("scale", 1.0))
+        self.train_step = S.make_hierarchical_step(model, self.tx, anneal)
+        self.eval_step = S.make_hierarchical_eval_step(model, eval_evidence_acc)
+
+    def _init_state(self):
+        size = 28 if type(self.model).__name__ == "VAE" else 64
+        return S.init_vae_state(self.model, self.tx, self._next_rng(), size,
+                                self.model.in_channel)
+
+
+class ClearTCVAETrainer(VAETrainerBase):
+    """CLEAR-TC (reference ClearTCVAETrainer, trainer.py:590-778)."""
+
+    def __init__(self, model, factor_cls: FactorCls, optimizers: dict,
+                 sim_fn: str, hyperparameter: dict, verbose_period: int = 5,
+                 seed: int = 0, mesh=None, mig_backend: str = "numpy"):
+        super().__init__(model, verbose_period, seed, mesh, mig_backend)
+        self.tx = optimizers["vae_optim"]
+        self.factor_tx = optimizers["factor_optim"]
+        self.factor_cls = factor_cls
+        anneal = C.AnnealConfig(beta=hyperparameter["beta"],
+                                loc=hyperparameter.get("loc", 0.0),
+                                scale=hyperparameter.get("scale", 1.0))
+        contr = C.ContrastiveConfig(alpha=hyperparameter["alpha"],
+                                    temperature=hyperparameter["temperature"],
+                                    sim_fn=sim_fn)
+        tc = C.TCConfig(la=hyperparameter["lambda"])
+        self.train_step = S.make_clear_tc_step(model, factor_cls, self.tx,
+                                               self.factor_tx, anneal, contr, tc)
+        self.eval_step = S.make_clear_tc_eval_step(model, factor_cls, contr)
+        self.factor_d_losses: list = []
+
+    def _init_state(self):
+        size = 28 if type(self.model).__name__ == "VAE" else 64
+        z = self.model.total_z_dim
+        return S.init_vae_state(self.model, self.tx, self._next_rng(), size,
+                                self.model.in_channel,
+                                aux_model=self.factor_cls, aux_tx=self.factor_tx,
+                                aux_shapes=[(2, z)])
+
+    def _post_train_batch(self, metrics):
+        self.factor_d_losses.append(float(metrics["factor_d_loss"]))
+
+    def _fit_result(self):
+        return self.factor_d_losses
+
+
+class ClearMIMVAETrainer(VAETrainerBase):
+    """CLEAR-MIM (reference ClearMIMVAETrainer, trainer.py:781-965)."""
+
+    def __init__(self, model, mi_estimator, optimizers: dict, sim_fn: str,
+                 hyperparameter: dict, verbose_period: int = 5, seed: int = 0,
+                 mesh=None, mig_backend: str = "numpy"):
+        super().__init__(model, verbose_period, seed, mesh, mig_backend)
+        self.tx = optimizers["vae_optim"]
+        self.mi_tx = optimizers["mi_estimator_optim"]
+        self.mi_estimator = mi_estimator
+        anneal = C.AnnealConfig(beta=hyperparameter["beta"],
+                                loc=hyperparameter.get("loc", 0.0),
+                                scale=hyperparameter.get("scale", 1.0))
+        contr = C.ContrastiveConfig(alpha=hyperparameter["alpha"],
+                                    temperature=hyperparameter["temperature"],
+                                    sim_fn=sim_fn)
+        mim = C.MIMConfig(la=hyperparameter["lambda"])
+        self.train_step = S.make_clear_mim_step(model, mi_estimator, self.tx,
+                                                self.mi_tx, anneal, contr, mim)
+        self.eval_step = S.make_clear_mim_eval_step(model, mi_estimator, contr)
+        self.mi_losses: list = []
+        self.mi_learning_losses: list = []
+
+    def _init_state(self):
+        size = 28 if type(self.model).__name__ == "VAE" else 64
+        zh = self.model.total_z_dim // 2
+        return S.init_vae_state(self.model, self.tx, self._next_rng(), size,
+                                self.model.in_channel,
+                                aux_model=self.mi_estimator, aux_tx=self.mi_tx,
+                                aux_shapes=[(2, zh), (2, zh)])
+
+    def _post_train_batch(self, metrics):
+        self.mi_losses.append(float(metrics["mi_loss"]))
+        self.mi_learning_losses.append(float(metrics["mi_learning_loss"]))
+
+    def _fit_result(self):
+        return self.mi_losses, self.mi_learning_losses
+
+
+class SimpleCNNTrainer:
+    """Plain CE classifier baseline (reference SimpleCNNTrainer,
+    trainer.py:168-232)."""
+
+    def __init__(self, model, optimizer, verbose_period: int = 5,
+                 seed: int = 0, mesh=None):
+        self.model = model
+        self.tx = optimizer
+        self.verbose_period = verbose_period
+        self.seed = seed
+        self.mesh = mesh
+        self.state = None
+        self._rng = jax.random.key(seed)
+        self.train_step = S.make_cnn_step(model, self.tx)
+        self.logits_fn = S.make_cnn_logits_fn(model)
+
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _init_state(self):
+        size = 28 if "64" not in type(self.model).__name__ else 64
+        x = jnp.zeros((2, size, size, self.model.in_channel))
+        variables = self.model.init({"params": self._next_rng()}, x)
+        return S.TrainState(params=variables["params"],
+                            batch_stats=variables.get("batch_stats", {}),
+                            opt_state=self.tx.init(variables["params"]),
+                            step=jnp.zeros((), jnp.int32))
+
+    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128):
+        if self.state is None:
+            self.state = self._init_state()
+        if self.mesh is not None:
+            self.state = replicate_state(self.mesh, self.state)
+        for epoch in range(epochs):
+            verbose = (epoch % self.verbose_period) == 0
+            last = {}
+            for batch in train_ds.batches(batch_size, shuffle=True,
+                                          seed=self.seed + epoch):
+                x, label = _device_batch(batch, self.mesh)
+                self.state, last = self.train_step(self.state, x, label,
+                                                   self._next_rng())
+            if verbose and last:
+                print(f"epoch {epoch}: "
+                      f"{ {k: round(float(v), 3) for k, v in last.items()} }")
+            if valid_ds is not None and verbose:
+                (aupr, auroc), acc = self.evaluate(valid_ds, batch_size)
+                print("val_aupr:", aupr, "val_auroc:", auroc, "val_acc:",
+                      round(acc, 3))
+
+    def evaluate(self, ds, batch_size: int = 128):
+        """((AUPR dict, AUROC dict), accuracy) — reference trainer.py:215-232."""
+        all_logits, all_y = [], []
+        for batch in ds.batches(batch_size, shuffle=False):
+            x = jnp.asarray(batch[0])
+            all_logits.append(np.asarray(self.logits_fn(self.state, x)))
+            all_y.append(np.asarray(batch[1]))
+        logits = np.concatenate(all_logits)
+        y = np.concatenate(all_y)
+        return MT.auc(logits, y), MT.accuracy(logits, y)
+
+
+class LAMCNNTrainer(SimpleCNNTrainer):
+    """CE + LAM regularizer (reference LAMCNNTrainer, trainer.py:235-288)."""
+
+    def __init__(self, model, optimizer, hyperparameter: dict,
+                 verbose_period: int = 5, seed: int = 0, mesh=None):
+        super().__init__(model, optimizer, verbose_period, seed, mesh)
+        from clearvae_tpu.models.cnn import lam_head_weight
+        self.train_step = S.make_lam_cnn_step(model, self.tx,
+                                              hyperparameter["lam_coef"],
+                                              lam_head_weight)
+
+
+class DownstreamMLPTrainer:
+    """MLP probe on the frozen VAE's mu_c (reference DownstreamMLPTrainer,
+    trainer.py:95-165)."""
+
+    def __init__(self, vae_trainer: VAETrainerBase, n_class: int = 10,
+                 lr: float = 3e-4, verbose_period: int = 10, seed: int = 0):
+        self.vae_trainer = vae_trainer
+        self.vae_model = vae_trainer.model
+        self.mlp = ProbeMLP(n_class=n_class)
+        self.tx = optax.adam(lr)
+        self.verbose_period = verbose_period
+        self._rng = jax.random.key(seed)
+        z_dim = self.vae_model.total_z_dim // 2
+        variables = self.mlp.init({"params": self._rng}, jnp.zeros((2, z_dim)))
+        self.state = S.TrainState(params=variables["params"],
+                                  batch_stats=variables.get("batch_stats", {}),
+                                  opt_state=self.tx.init(variables["params"]),
+                                  step=jnp.zeros((), jnp.int32))
+        self.train_step = S.make_probe_step(self.vae_model, None, self.mlp,
+                                            self.tx)
+        self.logits_fn = S.make_probe_logits_fn(self.vae_model, self.mlp)
+
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128):
+        vs = self.vae_trainer.state
+        for epoch in range(epochs):
+            for batch in train_ds.batches(batch_size, shuffle=True, seed=epoch):
+                x, label = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+                self.state, _ = self.train_step(self.state, vs.params,
+                                                vs.batch_stats, x, label,
+                                                self._next_rng())
+            if valid_ds is not None and (epoch % self.verbose_period) == 0:
+                (aupr, auroc), acc = self.evaluate(valid_ds, batch_size)
+                print(f"probe epoch {epoch}: acc={round(acc, 3)}")
+
+    def evaluate(self, ds, batch_size: int = 128):
+        vs = self.vae_trainer.state
+        all_logits, all_y = [], []
+        for batch in ds.batches(batch_size, shuffle=False):
+            x = jnp.asarray(batch[0])
+            all_logits.append(np.asarray(self.logits_fn(self.state, vs.params,
+                                                        vs.batch_stats, x)))
+            all_y.append(np.asarray(batch[1]))
+        logits = np.concatenate(all_logits)
+        y = np.concatenate(all_y)
+        return MT.auc(logits, y), MT.accuracy(logits, y)

@@ -1,0 +1,83 @@
+"""Data-parallel correctness: the jitted CLEAR step over an 8-device CPU mesh
+must match single-device numerics exactly (SURVEY §2.2 design decision:
+batch-global contrastive terms are preserved under DP via GSPMD all-gather)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
+from clearvae_tpu.models.vae import VAE
+from clearvae_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from clearvae_tpu.train.steps import init_vae_state, make_clear_vae_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    state = init_vae_state(model, tx, jax.random.key(0), 28, 1)
+    step = make_clear_vae_step(model, tx, AnnealConfig(),
+                               ContrastiveConfig(alpha=100.0))
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(32, 28, 28, 1), jnp.float32)
+    label = jnp.asarray(rs.randint(0, 10, 32))
+    return model, tx, state, step, x, label
+
+
+def test_eight_virtual_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_dp_matches_single_device(setup):
+    model, tx, state, step, x, label = setup
+    rng = jax.random.key(42)
+
+    # single device
+    s1, m1 = step(state, x, label, rng)
+
+    # 8-device mesh: batch sharded, state replicated
+    mesh = make_mesh(8)
+    state_r = replicate_state(mesh, state)
+    xs, ls = shard_batch(mesh, x, label)
+    s8, m8 = step(state_r, xs, ls, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["c_loss"]), float(m8["c_loss"]),
+                               rtol=1e-5)
+    # updated parameters agree to within f32 reduction-order noise relative
+    # to each tensor's scale (Adam's first step is sign-like on ~0 grads, so
+    # elementwise rtol is meaningless there)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-3 * max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() <= max(tol, 1.2e-3), np.abs(a - b).max()
+
+
+def test_dp_multiple_steps_stay_synced(setup):
+    model, tx, state, step, x, label = setup
+    mesh = make_mesh(8)
+    s1 = state
+    s8 = replicate_state(mesh, state)
+    xs, ls = shard_batch(mesh, x, label)
+    for i in range(3):
+        rng = jax.random.key(100 + i)
+        s1, m1 = step(s1, x, label, rng)
+        s8, m8 = step(s8, xs, ls, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))

@@ -1,0 +1,154 @@
+"""Trainer integration tests: every method trains a step and evaluates on
+tiny synthetic styled data (SURVEY §4 test-plan item d, shrunk for CI)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clearvae_tpu.data.mnist import synthetic_mnist
+from clearvae_tpu.data.styled import (
+    StyledDataset,
+    generate_style_dict,
+    make_k_styled_mnist,
+    make_styled_mnist,
+    train_valid_split,
+)
+from clearvae_tpu.train.factories import (
+    get_clearvae_trainer,
+    get_cleartcvae_trainer,
+    get_clearmimvae_trainer,
+    get_cnn_trainer,
+    get_hierarchical_vae_trainer,
+    get_lamcnn_trainer,
+)
+from clearvae_tpu.train.trainers import DownstreamMLPTrainer
+
+
+@pytest.fixture(scope="module")
+def data():
+    imgs, labels = synthetic_mnist(160, seed=0)
+    ds = make_styled_mnist(imgs, labels, seed=0)
+    return train_valid_split(ds, seed=0)
+
+
+def test_clear_vae_trains_and_evaluates(data):
+    tr, va = data
+    t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,
+                             alpha=100.0, temperature=0.1,
+                             verbose_period=10)
+    t.fit(2, tr, batch_size=32)
+    mig, mse = t.evaluate(va, batch_size=32)
+    assert np.isfinite(mig) and np.isfinite(mse)
+    # training reduced the loss vs the first step
+    s0 = t.state
+    assert int(s0.step) == 2 * (len(tr) // 32)
+
+
+def test_clear_vae_neg_mode(data):
+    tr, _ = data
+    t = get_clearvae_trainer(beta=1 / 8, ps=False, vae_lr=5e-4, z_dim=16,
+                             alpha=100.0, temperature=0.1)
+    t.fit(1, tr, batch_size=32)
+    assert np.isfinite(float(t.state.step))
+
+
+@pytest.mark.parametrize("mode", ["GVAE", "MLVAE"])
+def test_hierarchical(data, mode):
+    tr, va = data
+    t = get_hierarchical_vae_trainer(beta=1 / 8, vae_lr=5e-4, z_dim=16,
+                                     group_mode=mode)
+    t.fit(1, tr, batch_size=32)
+    mig, mse = t.evaluate(va, batch_size=32)
+    assert np.isfinite(mig) and np.isfinite(mse)
+
+
+def test_clear_tc_returns_history(data):
+    tr, _ = data
+    t = get_cleartcvae_trainer(beta=1 / 8, la=1, vae_lr=5e-4,
+                               factor_cls_lr=1e-4, z_dim=16, alpha=100.0,
+                               temperature=0.1)
+    hist = t.fit(1, tr, batch_size=32)
+    assert len(hist) == len(tr) // 32
+    assert all(np.isfinite(h) for h in hist)
+
+
+@pytest.mark.parametrize("est", ["CLUBSample", "L1OutUB"])
+def test_clear_mim_returns_histories(data, est):
+    tr, _ = data
+    t = get_clearmimvae_trainer(beta=1 / 8, mi_estimator=est, la=3,
+                                vae_lr=5e-4, mi_estimator_lr=2e-3, z_dim=16,
+                                alpha=100.0, temperature=0.1)
+    mi, mi_learn = t.fit(1, tr, batch_size=32)
+    assert len(mi) == len(mi_learn) == len(tr) // 32
+    assert all(np.isfinite(v) for v in mi + mi_learn)
+
+
+def test_cnn_and_lam(data):
+    tr, va = data
+    c = get_cnn_trainer(n_class=10)
+    c.fit(1, tr, batch_size=32)
+    (aupr, auroc), acc = c.evaluate(va, batch_size=32)
+    assert 0 <= acc <= 1 and len(aupr) == len(auroc)
+    l = get_lamcnn_trainer(n_class=10, lam_coef=0.001)
+    l.fit(1, tr, batch_size=32)
+
+
+def test_probe_on_frozen_vae(data):
+    tr, va = data
+    t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,
+                             alpha=100.0, temperature=0.1)
+    t.fit(1, tr, batch_size=32)
+    params_before = jax.tree.leaves(t.state.params)
+    probe = DownstreamMLPTrainer(t, n_class=10)
+    probe.fit(1, tr, batch_size=32)
+    (aupr, auroc), acc = probe.evaluate(va, batch_size=32)
+    assert 0 <= acc <= 1
+    # the VAE must be untouched by probe training
+    for a, b in zip(params_before, jax.tree.leaves(t.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_k_style_protocol():
+    rng = np.random.RandomState(0)
+    sd = generate_style_dict(list(range(10)), list(range(6)), k=2, rng=rng)
+    for c in range(10):
+        tr_styles = set(int(s) for s in sd[c]["train"])
+        te_styles = set(int(s) for s in sd[c]["test"])
+        assert len(tr_styles) == 2
+        assert tr_styles | te_styles == set(range(6))
+        assert not (tr_styles & te_styles)
+
+    imgs, labels = synthetic_mnist(60, seed=1)
+    tr = make_k_styled_mnist(imgs, labels, sd, "train", seed=0)
+    te = make_k_styled_mnist(imgs, labels, sd, "test", seed=0)
+    for i in range(60):
+        assert tr.style_idx[i] in sd[int(labels[i])]["train"]
+        assert te.style_idx[i] in sd[int(labels[i])]["test"]
+
+
+def test_k_invalid():
+    rng = np.random.RandomState(0)
+    with pytest.raises(ValueError):
+        generate_style_dict([0], [0, 1, 2], k=3, rng=rng)
+
+
+def test_styled_dataset_reproducible_materialization():
+    imgs, labels = synthetic_mnist(32, seed=2)
+    a = make_styled_mnist(imgs, labels, seed=5).materialize(device_batch=16)
+    b = make_styled_mnist(imgs, labels, seed=5).materialize(device_batch=32)
+    np.testing.assert_array_equal(a, b)  # chunking-invariant keying
+
+
+def test_stratified_shuffle_preserves_labels():
+    from clearvae_tpu.train.steps import stratified_shuffle
+    rs = np.random.RandomState(0)
+    label = jnp.asarray(rs.randint(0, 4, 64))
+    x = jnp.asarray(rs.rand(64, 3), jnp.float32)
+    xs = stratified_shuffle(x, label, jax.random.key(0))
+    # every row of xs must be a row of x with the same label
+    x_np, xs_np = np.asarray(x), np.asarray(xs)
+    for i in range(64):
+        matches = np.where((x_np == xs_np[i]).all(axis=1))[0]
+        assert len(matches) >= 1
+        assert all(int(label[m]) == int(label[i]) for m in matches[:1])

@@ -40,7 +40,8 @@ def measure_tpu() -> float:
     from clearvae_tpu.data.mnist import synthetic_mnist
     from clearvae_tpu.data.styled import make_styled_mnist
     from clearvae_tpu.models.vae import VAE
-    from clearvae_tpu.train.steps import init_vae_state, make_clear_vae_step
+    from clearvae_tpu.train.steps import (init_vae_state, make_clear_vae_step,
+                                          make_epoch_fn)
 
     imgs, labels = synthetic_mnist(N_IMAGES, seed=0)
     ds = make_styled_mnist(imgs, labels, seed=0)
@@ -53,27 +54,28 @@ def measure_tpu() -> float:
                                ContrastiveConfig(alpha=1e2, temperature=0.1,
                                                  ps=True))
 
-    # whole epoch stays HBM-resident; batches are device-side slices
+    # whole epoch stays HBM-resident and runs as ONE scanned XLA program
+    epoch_fn = make_epoch_fn(step.core)
     data = jnp.asarray(styled[..., None])
     lbl = jnp.asarray(labels)
     n_batches = N_IMAGES // BATCH
-    keys = jax.random.split(jax.random.key(1), N_WARMUP + N_STEPS)
+    rs = np.random.RandomState(0)
 
-    for i in range(N_WARMUP):
-        s = (i % n_batches) * BATCH
-        state, m = step(state, jax.lax.dynamic_slice_in_dim(data, s, BATCH),
-                        jax.lax.dynamic_slice_in_dim(lbl, s, BATCH), keys[i])
+    def one_epoch(state, seed):
+        perm = rs.permutation(N_IMAGES)[: n_batches * BATCH]
+        batch_idx = jnp.asarray(perm.reshape(n_batches, BATCH))
+        return epoch_fn(state, data, lbl, batch_idx, jax.random.key(seed))
+
+    state, m = one_epoch(state, 0)  # compile + warmup
     jax.block_until_ready(m["loss"])
 
+    n_epochs = max(1, N_STEPS // n_batches)
     t0 = time.perf_counter()
-    for i in range(N_STEPS):
-        s = (i % n_batches) * BATCH
-        state, m = step(state, jax.lax.dynamic_slice_in_dim(data, s, BATCH),
-                        jax.lax.dynamic_slice_in_dim(lbl, s, BATCH),
-                        keys[N_WARMUP + i])
+    for e in range(n_epochs):
+        state, m = one_epoch(state, 1 + e)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
-    return N_STEPS * BATCH / dt
+    return n_epochs * n_batches * BATCH / dt
 
 
 def measure_torch_baseline(max_seconds: float = 120.0) -> float:

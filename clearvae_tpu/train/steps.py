@@ -109,8 +109,7 @@ def make_clear_vae_step(model, tx, anneal_cfg, contrastive_cfg):
                    "c_loss": c_loss, "s_loss": s_loss}
         return loss, (new_stats, metrics)
 
-    @jax.jit
-    def step_fn(state: TrainState, x, label, rng):
+    def step_core(state: TrainState, x, label, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, x, label, rng, state.step)
@@ -120,6 +119,8 @@ def make_clear_vae_step(model, tx, anneal_cfg, contrastive_cfg):
             batch_stats=new_stats, opt_state=opt_state,
             step=state.step + 1), metrics
 
+    step_fn = jax.jit(step_core)
+    step_fn.core = step_core
     return step_fn
 
 
@@ -169,8 +170,7 @@ def make_hierarchical_step(model, tx, anneal_cfg):
                    "kl_s": kl_s_adj}
         return loss, (new_stats, metrics)
 
-    @jax.jit
-    def step_fn(state: TrainState, x, label, rng):
+    def step_core(state: TrainState, x, label, rng):
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, x, label,
                                    rng, state.step)
@@ -180,6 +180,8 @@ def make_hierarchical_step(model, tx, anneal_cfg):
             batch_stats=new_stats, opt_state=opt_state,
             step=state.step + 1), metrics
 
+    step_fn = jax.jit(step_core)
+    step_fn.core = step_core
     return step_fn
 
 
@@ -251,8 +253,7 @@ def make_clear_tc_step(model, factor_cls, tx, factor_tx, anneal_cfg,
                    "c_loss": c_loss, "mi_loss": mi_loss}
         return loss, (new_stats, metrics)
 
-    @jax.jit
-    def step_fn(state: TrainState, x, label, rng):
+    def step_core(state: TrainState, x, label, rng):
         k_vae, k_disc = jax.random.split(rng)
         # phase 1: VAE update (factor params frozen — grads wrt params only)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
@@ -287,6 +288,8 @@ def make_clear_tc_step(model, factor_cls, tx, factor_tx, anneal_cfg,
             aux_params=optax.apply_updates(state.aux_params, d_updates),
             aux_opt_state=aux_opt_state, step=state.step + 1), metrics
 
+    step_fn = jax.jit(step_core)
+    step_fn.core = step_core
     return step_fn
 
 
@@ -340,8 +343,7 @@ def make_clear_mim_step(model, mi_estimator, tx, mi_tx, anneal_cfg,
                    "c_loss": c_loss, "mi_loss": mi_loss}
         return loss, (new_stats, metrics)
 
-    @jax.jit
-    def step_fn(state: TrainState, x, label, rng):
+    def step_core(state: TrainState, x, label, rng):
         k_vae, k_inner = jax.random.split(rng)
         # phase 1: VAE update (estimator params frozen)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
@@ -388,6 +390,8 @@ def make_clear_mim_step(model, mi_estimator, tx, mi_tx, anneal_cfg,
             aux_params=mi_params, aux_opt_state=mi_opt,
             step=state.step + 1), metrics
 
+    step_fn = jax.jit(step_core)
+    step_fn.core = step_core
     return step_fn
 
 
@@ -428,8 +432,7 @@ def make_cnn_step(model, tx):
                                    x, train=True, mutable=["batch_stats"])
         return _ce(logits, label), (muts["batch_stats"], logits)
 
-    @jax.jit
-    def step_fn(state: TrainState, x, label, rng):
+    def step_core(state: TrainState, x, label, rng):
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, x, label)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -438,6 +441,8 @@ def make_cnn_step(model, tx):
             batch_stats=new_stats, opt_state=opt_state,
             step=state.step + 1), {"loss": loss}
 
+    step_fn = jax.jit(step_core)
+    step_fn.core = step_core
     return step_fn
 
 
@@ -468,8 +473,7 @@ def make_lam_cnn_step(model, tx, lam_coef: float, head_weight_fn):
         lam = L.lam_loss(feats, feats_t, label, head_weight_fn(params))
         return ce + lam_coef * lam, (muts["batch_stats"], ce, lam)
 
-    @jax.jit
-    def step_fn(state: TrainState, x, label, rng):
+    def step_core(state: TrainState, x, label, rng):
         x_tilde = stratified_shuffle(x, label, rng)
         (_, (new_stats, ce, lam)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, x,
@@ -480,6 +484,8 @@ def make_lam_cnn_step(model, tx, lam_coef: float, head_weight_fn):
             batch_stats=new_stats, opt_state=opt_state,
             step=state.step + 1), {"ce_loss": ce, "lam_loss": lam}
 
+    step_fn = jax.jit(step_core)
+    step_fn.core = step_core
     return step_fn
 
 
@@ -504,8 +510,7 @@ def make_probe_step(vae_model, vae_state_getter, mlp, tx):
     ``vae.eval()`` set by experiment_helper
     (run_styledmnist_downstream_expr.py:101)."""
 
-    @jax.jit
-    def step_fn(mlp_state: TrainState, vae_params, vae_stats, x, label, rng):
+    def step_core(mlp_state: TrainState, vae_params, vae_stats, x, label, rng):
         mu_c = vae_model.apply({"params": vae_params, "batch_stats": vae_stats},
                                x, train=False, method="encode")[0]
 
@@ -524,6 +529,8 @@ def make_probe_step(vae_model, vae_state_getter, mlp, tx):
             batch_stats=new_stats, opt_state=opt_state,
             step=mlp_state.step + 1), {"loss": loss}
 
+    step_fn = jax.jit(step_core)
+    step_fn.core = step_core
     return step_fn
 
 
@@ -537,3 +544,36 @@ def make_probe_logits_fn(vae_model, mlp):
                          train=False)
 
     return logits_fn
+
+
+# ---------------------------------------------------------------------------
+# Whole-epoch runner: lax.scan over HBM-resident batches
+# ---------------------------------------------------------------------------
+
+
+def make_epoch_fn(step_core):
+    """Fuse an entire epoch into ONE XLA program.
+
+    ``data``/``labels`` stay HBM-resident; ``batch_idx`` [n_batches, B] are
+    the (host-shuffled) sample indices per batch; the scan body gathers each
+    batch on device and applies ``step_core``. The input state buffers are
+    donated. This removes the per-step host dispatch that dominates the
+    naive loop (the reference pays a host→device copy and a tqdm device sync
+    every batch, trainer.py:447,486-492).
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, data, labels, batch_idx, rng):
+        keys = jax.random.split(rng, batch_idx.shape[0])
+
+        def body(st, inp):
+            idx, k = inp
+            st, metrics = step_core(st, jnp.take(data, idx, axis=0),
+                                    jnp.take(labels, idx, axis=0), k)
+            return st, metrics
+
+        state, ms = jax.lax.scan(body, state, (batch_idx, keys))
+        # ms: per-batch metric arrays [n_batches] (histories for TC/MIM)
+        return state, ms
+
+    return epoch_fn

@@ -50,6 +50,7 @@ class VAETrainerBase:
         self.mesh = mesh
         self.mig_backend = mig_backend
         self.state: Optional[S.TrainState] = None
+        self._epoch_fn = None
         self._rng = jax.random.key(seed)
 
     # subclasses set: self.train_step, self.eval_step
@@ -64,21 +65,47 @@ class VAETrainerBase:
     def _post_train_batch(self, metrics):
         pass
 
-    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128):
+    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
+            use_scan: bool | None = None):
+        """Train. ``use_scan`` (default: on when no mesh) fuses every epoch
+        into one donated XLA program via lax.scan over HBM-resident data —
+        the TPU-native fast path."""
         if self.state is None:
             self.state = self._init_state()
         if self.mesh is not None:
             self.state = replicate_state(self.mesh, self.state)
+        if use_scan is None:
+            use_scan = self.mesh is None and hasattr(self.train_step, "core")
+        if use_scan and self._epoch_fn is None:
+            self._epoch_fn = S.make_epoch_fn(self.train_step.core)
+
+        if use_scan:
+            styled = train_ds.materialize()
+            data = jnp.asarray(styled[..., None])
+            labels = jnp.asarray(train_ds.labels)
+            n = len(train_ds)
+            n_batches = n // batch_size
+
         for epoch in range(epochs):
             verbose = (epoch % self.verbose_period) == 0
             last = {}
-            for batch in train_ds.batches(batch_size, shuffle=True,
-                                          seed=self.seed + epoch):
-                x, label = _device_batch(batch, self.mesh)
-                self.state, metrics = self.train_step(self.state, x, label,
-                                                      self._next_rng())
-                self._post_train_batch(metrics)
-                last = metrics
+            if use_scan:
+                perm = np.random.RandomState(self.seed + epoch).permutation(n)
+                batch_idx = jnp.asarray(
+                    perm[: n_batches * batch_size].reshape(n_batches,
+                                                           batch_size))
+                self.state, ms = self._epoch_fn(self.state, data, labels,
+                                                batch_idx, self._next_rng())
+                self._post_train_epoch(ms)
+                last = {k: v[-1] for k, v in ms.items()}
+            else:
+                for batch in train_ds.batches(batch_size, shuffle=True,
+                                              seed=self.seed + epoch):
+                    x, label = _device_batch(batch, self.mesh)
+                    self.state, metrics = self.train_step(self.state, x, label,
+                                                          self._next_rng())
+                    self._post_train_batch(metrics)
+                    last = metrics
             if verbose and last:
                 vals = {k: round(float(v), 3) for k, v in last.items()}
                 print(f"epoch {epoch}: {vals}")
@@ -86,6 +113,10 @@ class VAETrainerBase:
                 mig, mse = self.evaluate(valid_ds, batch_size=batch_size)
                 print(f"gMIG: {round(mig, 3)}; mse: {round(float(mse), 3)}")
         return self._fit_result()
+
+    def _post_train_epoch(self, ms):
+        """Scan-path equivalent of per-batch history collection."""
+        pass
 
     def _fit_result(self):
         return None
@@ -213,6 +244,9 @@ class ClearTCVAETrainer(VAETrainerBase):
     def _post_train_batch(self, metrics):
         self.factor_d_losses.append(float(metrics["factor_d_loss"]))
 
+    def _post_train_epoch(self, ms):
+        self.factor_d_losses.extend(np.asarray(ms["factor_d_loss"]).tolist())
+
     def _fit_result(self):
         return self.factor_d_losses
 
@@ -251,6 +285,11 @@ class ClearMIMVAETrainer(VAETrainerBase):
     def _post_train_batch(self, metrics):
         self.mi_losses.append(float(metrics["mi_loss"]))
         self.mi_learning_losses.append(float(metrics["mi_learning_loss"]))
+
+    def _post_train_epoch(self, ms):
+        self.mi_losses.extend(np.asarray(ms["mi_loss"]).tolist())
+        self.mi_learning_losses.extend(
+            np.asarray(ms["mi_learning_loss"]).tolist())
 
     def _fit_result(self):
         return self.mi_losses, self.mi_learning_losses

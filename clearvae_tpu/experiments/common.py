@@ -1,0 +1,62 @@
+"""Shared experiment plumbing (reference: run_styledmnist_downstream_expr.py:92-225)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from clearvae_tpu.train.trainers import DownstreamMLPTrainer, SimpleCNNTrainer
+
+
+def experiment_helper(train_ds, valid_ds, test_ds, vae_trainer, epochs: int,
+                      batch_size: int = 128, n_class: int = 10,
+                      probe_lr: float = 3e-4, probe_epochs: int | None = None):
+    """Train VAE → freeze → train MLP probe on mu_c → test metrics
+    (reference experiment_helper, run_styledmnist_downstream_expr.py:92-127).
+
+    The probe trains for the same number of epochs as the VAE unless
+    ``probe_epochs`` overrides (the Camelyon17 notebook uses 1)."""
+    vae_trainer.fit(epochs, train_ds, valid_ds, batch_size=batch_size)
+    probe = DownstreamMLPTrainer(vae_trainer, n_class=n_class, lr=probe_lr)
+    probe.fit(probe_epochs or epochs, train_ds, valid_ds,
+              batch_size=batch_size)
+    (aupr, auroc), acc = probe.evaluate(test_ds, batch_size=batch_size)
+    return aupr, auroc, acc
+
+
+def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
+                  batch_size: int = 128, n_class: int = 10,
+                  probe_epochs: int | None = None) -> dict:
+    """Train every (factory, params) entry and collect the reference's result
+    schema: {model: {acc, pr: {overall, stratified}, roc: {...}}}
+    (reference run_styledmnist_downstream_expr.py:190-216)."""
+    results = {}
+    for model_name, (trainer_func, params) in models.items():
+        print(f"\nTraining {model_name}:")
+        trainer = trainer_func(**params)
+        if isinstance(trainer, SimpleCNNTrainer):
+            trainer.fit(epochs, train_ds, valid_ds, batch_size=batch_size)
+            (aupr, auroc), acc = trainer.evaluate(test_ds,
+                                                  batch_size=batch_size)
+        else:
+            aupr, auroc, acc = experiment_helper(
+                train_ds, valid_ds, test_ds, trainer, epochs,
+                batch_size=batch_size, n_class=n_class,
+                probe_epochs=probe_epochs)
+        results[model_name] = {
+            "acc": round(float(acc), 3),
+            "pr": {"overall": round(float(np.mean(list(aupr.values()))), 3),
+                   "stratified": {int(k): v for k, v in aupr.items()}},
+            "roc": {"overall": round(float(np.mean(list(auroc.values()))), 3),
+                    "stratified": {int(k): v for k, v in auroc.items()}},
+        }
+    return results
+
+
+def save_results(results: dict, fpath: str):
+    os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
+    with open(fpath, "w") as f:
+        json.dump(results, f, indent=4)
+    print(f"wrote {fpath}")

@@ -1,0 +1,128 @@
+"""MIG/ELBO sweep on Styled-MNIST (rebuild of reference
+code/run_mig_expr_mnist.py).
+
+Fixed style distribution {identity .15, stripe .2, zigzag .25, canny .1,
+scale(5) .1, brightness .2} (reference :20-27), 40k/10k/10k split (:66),
+8-model zoo incl. clear-ps / clear-neg / bvae (α=0) (:119-160), β sweep
+(active default [1/8]; full sweep commented in the reference, :28-29).
+Writes ``expr_output/styled-mnist/mig_elbo_s{seed}_a{alpha}_z{z}_t{temp}.csv``
+with columns model,beta,mig,elbo (:185-198).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+
+from clearvae_tpu.data.mnist import get_mnist
+from clearvae_tpu.data.styled import StyledDataset, make_styled_mnist
+from clearvae_tpu.train.factories import (
+    get_clearvae_trainer,
+    get_cleartcvae_trainer,
+    get_clearmimvae_trainer,
+    get_hierarchical_vae_trainer,
+)
+from clearvae_tpu.train.trainers import HierarchicalVAETrainer
+
+STYLE_PROBS = {
+    "identity": 0.15, "stripe": 0.2, "zigzag": 0.25, "canny_edges": 0.1,
+    "scale": 0.1, "brightness": 0.2,
+}
+BETAS = [1 / 8]  # full sweep in the reference: [1/32 .. 8]
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=101)
+    p.add_argument("--alpha", type=float, default=1e2)
+    p.add_argument("--epochs", type=int, default=16)
+    p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--z_dim", type=int, default=16)
+    p.add_argument("--data_root_path", type=str, default=None)
+    p.add_argument("--n_total", type=int, default=60000)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--out", type=str, default="./expr_output/styled-mnist")
+    p.add_argument("--betas", type=float, nargs="*", default=None)
+    return p.parse_args(argv)
+
+
+def get_data(args):
+    imgs, labels = get_mnist(args.data_root_path, "train",
+                             n_synthetic=args.n_total, seed=args.seed)
+    ds = make_styled_mnist(imgs, labels, style_probs=STYLE_PROBS,
+                           seed=args.seed)
+    n = len(ds)
+    n_tr, n_va = int(n * 40 / 60), int(n * 10 / 60)
+    rs = np.random.RandomState(args.seed)
+    idx = rs.permutation(n)
+
+    def sub(sel):
+        d = StyledDataset(ds.images[sel], ds.labels[sel], ds.style_idx[sel],
+                          ds.styles, ds.seed, ds.sample_ids[sel])
+        return d
+
+    return (sub(idx[:n_tr]), sub(idx[n_tr:n_tr + n_va]),
+            sub(idx[n_tr + n_va:]))
+
+
+def model_zoo(args):
+    dh = {"vae_lr": 5e-4, "z_dim": args.z_dim, "alpha": args.alpha,
+          "temperature": args.temperature, "vae_arch": "VAE",
+          "seed": args.seed}
+    return {
+        "clear-ps": lambda beta: get_clearvae_trainer(beta=beta, ps=True, **dh),
+        "clear-neg": lambda beta: get_clearvae_trainer(beta=beta, ps=False, **dh),
+        "bvae": lambda beta: get_clearvae_trainer(
+            beta=beta, ps=False, **{**dh, "alpha": 0}),
+        "clear-tc": lambda beta: get_cleartcvae_trainer(
+            beta=beta, la=1, factor_cls_lr=1e-4, **dh),
+        "clear-mim (L1OutUB)": lambda beta: get_clearmimvae_trainer(
+            beta=beta, mi_estimator="L1OutUB", la=3, mi_estimator_lr=2e-3, **dh),
+        "clear-mim (CLUB-S)": lambda beta: get_clearmimvae_trainer(
+            beta=beta, mi_estimator="CLUBSample", la=3, mi_estimator_lr=2e-3,
+            **dh),
+        "mlvae": lambda beta: get_hierarchical_vae_trainer(
+            beta=beta, vae_lr=5e-4, z_dim=args.z_dim, group_mode="MLVAE",
+            seed=args.seed),
+        "gvae": lambda beta: get_hierarchical_vae_trainer(
+            beta=beta, vae_lr=5e-4, z_dim=args.z_dim, group_mode="GVAE",
+            seed=args.seed),
+    }
+
+
+def main(argv=None):
+    args = get_args(argv)
+    betas = args.betas or BETAS
+    train, valid, test = get_data(args)
+    models = model_zoo(args)
+
+    rows = []
+    for beta in betas:
+        print(f"==== BETA {beta} ====")
+        for name, get_trainer in models.items():
+            print(f"---- {name} ----")
+            trainer = get_trainer(beta)
+            trainer.fit(args.epochs, train, valid,
+                        batch_size=args.batch_size)
+            if isinstance(trainer, HierarchicalVAETrainer):
+                mig, elbo = trainer.evaluate(test, batch_size=args.batch_size,
+                                             with_evidence_acc=False)
+            else:
+                mig, elbo = trainer.evaluate(test, batch_size=args.batch_size)
+            rows.append({"model": name, "beta": beta, "mig": mig,
+                         "elbo": elbo})
+
+    df = pd.DataFrame(rows)[["model", "beta", "mig", "elbo"]]
+    os.makedirs(args.out, exist_ok=True)
+    fpath = (f"{args.out}/mig_elbo_s{args.seed}_a{args.alpha}"
+             f"_z{args.z_dim}_t{args.temperature}.csv")
+    df.to_csv(fpath, index=False)
+    print(f"wrote {fpath}")
+    return df
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Styled-MNIST train→test style-shift OOD downstream experiment.
+
+TPU-native rebuild of reference code/run_styledmnist_downstream_expr.py:
+for k = 1..5, give each class k random training styles (of 6) and the
+complement as test styles, train the 7-model zoo {baseline CNN, GVAE, MLVAE,
+CLEAR(ps), CLEAR-TC, CLEAR-MIM(L1OutUB), CLEAR-MIM(CLUB-S)}, probe frozen
+encoders with an MLP on mu_c, and write
+``expr_output/styled-mnist/classification/styledmnist-k{k}-{seed}.json``
+with the reference's result schema.
+
+Defaults match the reference exactly (epochs 41, α=1e2, τ=0.1, β=1/8, z=16,
+Adam 5e-4, batch 128; run_styledmnist_downstream_expr.py:36-53,231-238).
+
+Usage:
+  python -m clearvae_tpu.experiments.styledmnist_downstream \
+      [--data_root_path DIR] [--epochs N] [--alpha A] [--temperature T]
+      [--n_train N] [--k_max K] [--out DIR]
+
+Without --data_root_path (or when MNIST idx files are absent) the synthetic
+digit fallback is used so the pipeline runs hermetically.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from clearvae_tpu.data.mnist import get_mnist
+from clearvae_tpu.data.styled import (
+    generate_style_dict,
+    make_k_styled_mnist,
+    train_valid_split,
+)
+from clearvae_tpu.experiments.common import run_model_zoo, save_results
+from clearvae_tpu.ops.corruptions import EXPERIMENT_STYLES
+from clearvae_tpu.train.factories import (
+    get_clearvae_trainer,
+    get_cleartcvae_trainer,
+    get_clearmimvae_trainer,
+    get_cnn_trainer,
+    get_hierarchical_vae_trainer,
+)
+
+N_STYLES = len(EXPERIMENT_STYLES)
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root_path", type=str, default=None,
+                   help="root path of the dataset (idx files); synthetic "
+                        "fallback if absent")
+    p.add_argument("--epochs", type=int, default=41,
+                   help="num epochs; default 41")
+    p.add_argument("--alpha", type=float, default=1e2,
+                   help="penalty weight for snn; default 1e2")
+    p.add_argument("--temperature", type=float, default=0.1,
+                   help="temperature for snn; default 0.1")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--n_train", type=int, default=50000)
+    p.add_argument("--n_test", type=int, default=10000)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--k_max", type=int, default=N_STYLES - 1)
+    p.add_argument("--out", type=str,
+                   default="./expr_output/styled-mnist/classification")
+    return p.parse_args(argv)
+
+
+def get_data_splits(data_root_path, k: int, seed: int, n_train: int,
+                    n_test: int):
+    """Style dict + train/valid/test KStyled datasets
+    (reference get_data_splits, run_styledmnist_downstream_expr.py:56-89:
+    50k/10k split of the 60k train set, 85/15 train/valid)."""
+    rng = np.random.RandomState(seed)
+    imgs, labels = get_mnist(data_root_path, "train",
+                             n_synthetic=n_train + n_test, seed=seed)
+    perm = rng.permutation(len(labels))
+    tr_sel = perm[:n_train][: len(perm)]
+    te_sel = perm[n_train:n_train + n_test]
+    style_dict = generate_style_dict(list(range(10)), list(range(N_STYLES)),
+                                     k=k, rng=rng)
+    train_full = make_k_styled_mnist(imgs[tr_sel], labels[tr_sel], style_dict,
+                                     "train", seed=seed)
+    test = make_k_styled_mnist(imgs[te_sel], labels[te_sel], style_dict,
+                               "test", seed=seed)
+    train, valid = train_valid_split(train_full, 0.85, seed=seed)
+    return style_dict, train, valid, test
+
+
+def model_zoo(trainer_kwargs: dict, seed: int) -> dict:
+    """The 7-model zoo with reference hyperparameters
+    (run_styledmnist_downstream_expr.py:137-188)."""
+    common = dict(trainer_kwargs)
+    return {
+        "baseline": (get_cnn_trainer, {"n_class": 10, "seed": seed}),
+        "gvae": (get_hierarchical_vae_trainer,
+                 {"beta": common["beta"], "vae_lr": 5e-4,
+                  "z_dim": common["z_dim"], "group_mode": "GVAE",
+                  "seed": seed}),
+        "mlvae": (get_hierarchical_vae_trainer,
+                  {"beta": common["beta"], "vae_lr": 5e-4,
+                   "z_dim": common["z_dim"], "group_mode": "MLVAE",
+                   "seed": seed}),
+        "clear": (get_clearvae_trainer, {"ps": True, "seed": seed, **common}),
+        "clear-tc": (get_cleartcvae_trainer,
+                     {"la": 1, "factor_cls_lr": 1e-4, "seed": seed, **common}),
+        "clear-mim (L1OutUB)": (get_clearmimvae_trainer,
+                                {"mi_estimator": "L1OutUB", "la": 3,
+                                 "mi_estimator_lr": 2e-3, "seed": seed,
+                                 **common}),
+        "clear-mim (CLUB-S)": (get_clearmimvae_trainer,
+                               {"mi_estimator": "CLUBSample", "la": 3,
+                                "mi_estimator_lr": 2e-3, "seed": seed,
+                                **common}),
+    }
+
+
+def experiment(args, k: int, seed: int, trainer_kwargs: dict) -> dict:
+    print(f"Experiment: k={k}, seed={seed}")
+    _, train, valid, test = get_data_splits(args.data_root_path, k, seed,
+                                            args.n_train, args.n_test)
+    models = model_zoo(trainer_kwargs, seed)
+    results = run_model_zoo(models, train, valid, test, args.epochs,
+                            batch_size=args.batch_size, n_class=10)
+    save_results(results, f"{args.out}/styledmnist-k{k}-{seed}.json")
+    return results
+
+
+def main(argv=None):
+    args = get_args(argv)
+    seed = args.seed if args.seed is not None else int(np.random.randint(0, 1000))
+    trainer_kwargs = {
+        "beta": 1 / 8, "vae_lr": 5e-4, "z_dim": 16,
+        "alpha": args.alpha, "temperature": args.temperature,
+    }
+    for k in range(1, args.k_max + 1):
+        experiment(args, k, seed, trainer_kwargs)
+
+
+if __name__ == "__main__":
+    main()

@@ -203,7 +203,22 @@ class HierarchicalVAETrainer(VAETrainerBase):
                                 loc=hyperparameter.get("loc", 0.0),
                                 scale=hyperparameter.get("scale", 1.0))
         self.train_step = S.make_hierarchical_step(model, self.tx, anneal)
-        self.eval_step = S.make_hierarchical_eval_step(model, eval_evidence_acc)
+        self._eval_steps = {
+            False: S.make_hierarchical_eval_step(model, False),
+            True: S.make_hierarchical_eval_step(model, True),
+        }
+        self.eval_step = self._eval_steps[eval_evidence_acc]
+
+    def evaluate(self, ds, batch_size: int = 128,
+                 with_evidence_acc: bool | None = None):
+        """(reference evaluate(..., with_evidence_acc), trainer.py:366-412)."""
+        if with_evidence_acc is not None:
+            prev, self.eval_step = self.eval_step, self._eval_steps[with_evidence_acc]
+            try:
+                return super().evaluate(ds, batch_size)
+            finally:
+                self.eval_step = prev
+        return super().evaluate(ds, batch_size)
 
     def _init_state(self):
         size = 28 if type(self.model).__name__ == "VAE" else 64

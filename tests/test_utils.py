@@ -1,0 +1,143 @@
+"""Visualization, checkpointing, logging, and experiment-runner tests."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from clearvae_tpu.models.vae import VAE
+from clearvae_tpu.train.steps import init_vae_state
+from clearvae_tpu.utils import visual as V
+
+
+@pytest.fixture(scope="module")
+def vae_setup():
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    state = init_vae_state(model, tx, jax.random.key(0), 28, 1)
+    decode = V.make_decode_fn(model, state)
+    return model, tx, state, decode
+
+
+def test_interpolate_latent_endpoints():
+    z1 = jnp.asarray([1.0, 2.0]); z2 = jnp.asarray([3.0, -2.0])
+    m = V.interpolate_latent(z1, z2, 11)
+    assert m.shape == (11, 2)
+    np.testing.assert_allclose(np.asarray(m[0]), [1.0, 2.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m[-1]), [3.0, -2.0], atol=1e-6)
+
+
+def test_make_grid_layout():
+    imgs = np.zeros((6, 8, 8, 1), np.float32)
+    g = V.make_grid(imgs, nrow=3)
+    assert g.shape == (2 * 10 + 2, 3 * 10 + 2, 3)
+
+
+def test_make_colored_grid():
+    imgs = np.ones((2, 4, 4, 1), np.float32) * 0.5
+    g = V.make_colored_grid(imgs, nrow=2, color="red")
+    assert (g[0, 0] == [1.0, 0.0, 0.0]).all()
+    with pytest.raises(ValueError):
+        V.make_colored_grid(imgs, nrow=2, color="green")
+
+
+def test_feature_swapping_plot(vae_setup, tmp_path):
+    _, _, _, decode = vae_setup
+    n, zh = 4, 8
+    rs = np.random.RandomState(0)
+    z_c = jnp.asarray(rs.randn(n, zh), jnp.float32)
+    z_s = jnp.asarray(rs.randn(n, zh), jnp.float32)
+    X = rs.rand(n, 28, 28, 1).astype(np.float32)
+    out = V.feature_swapping_plot(z_c, z_s, X, decode,
+                                  save=str(tmp_path / "swap.png"))
+    assert out.ndim == 3 and out.shape[2] == 3
+    assert (tmp_path / "swap.png").exists()
+
+
+def test_interpolation_plot(vae_setup, tmp_path):
+    _, _, _, decode = vae_setup
+    rs = np.random.RandomState(0)
+    X = rs.rand(12, 28, 28, 1).astype(np.float32)
+    z = jnp.asarray(rs.randn(12, 16), jnp.float32)
+    s, c = V.interpolation_plot(X, z, decode, z_dim=8, sample_size=3,
+                                inter_steps=5,
+                                save_prefix=str(tmp_path / "interp"))
+    assert s.ndim == 3 and c.ndim == 3
+    assert (tmp_path / "interp-style.png").exists()
+
+
+def test_display_util(vae_setup):
+    _, _, _, decode = vae_setup
+    z = jnp.asarray(np.random.RandomState(0).randn(4, 16), jnp.float32)
+    s, c = V.display_util(0, 1, z, decode, z_dim=8)
+    assert s.ndim == 3 and c.ndim == 3
+
+
+def test_tsne_plot(tmp_path):
+    rs = np.random.RandomState(0)
+    n = 80
+    labels = rs.randint(0, 3, n)
+    styles = rs.randint(0, 2, n)
+    mu_c = labels[:, None] + 0.1 * rs.randn(n, 5)
+    mu_s = styles[:, None] + 0.1 * rs.randn(n, 5)
+    emb_c, emb_s = V.tsne_plot(mu_c, mu_s, labels, styles,
+                               save_prefix=str(tmp_path / "t"))
+    assert emb_c.shape == (n, 2) and emb_s.shape == (n, 2)
+    assert (tmp_path / "t-muc-by-class.png").exists()
+    assert (tmp_path / "t-mus-by-style.png").exists()
+
+
+def test_checkpoint_roundtrip(vae_setup, tmp_path):
+    from clearvae_tpu.utils.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint)
+
+    model, tx, state, _ = vae_setup
+    path = save_checkpoint(str(tmp_path / "ckpt"), state,
+                           metadata={"config": "test"})
+    assert latest_checkpoint(str(tmp_path / "ckpt")) == path
+    template = init_vae_state(model, tx, jax.random.key(9), 28, 1)
+    restored = restore_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert os.path.exists(str(tmp_path / "ckpt") + "/step_00000000.meta.json")
+
+
+def test_metric_logger(tmp_path):
+    from clearvae_tpu.utils.logging import MetricLogger
+
+    p = str(tmp_path / "m.jsonl")
+    lg = MetricLogger(p)
+    lg.log("train", step=1, loss=1.5)
+    lg.log("eval", mig=0.3)
+    lg.close()
+    lines = [json.loads(l) for l in open(p)]
+    assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 1
+    assert lines[1]["tag"] == "eval"
+
+
+def test_throughput_meter():
+    from clearvae_tpu.utils.logging import Throughput
+
+    t = Throughput()
+    t.start()
+    t.add(100)
+    assert t.images_per_sec > 0
+
+
+def test_styledmnist_runner_tiny(tmp_path):
+    from clearvae_tpu.experiments import styledmnist_downstream as SD
+
+    SD.main(["--epochs", "1", "--n_train", "120", "--n_test", "40",
+             "--batch_size", "24", "--k_max", "1", "--seed", "3",
+             "--out", str(tmp_path)])
+    res = json.load(open(tmp_path / "styledmnist-k1-3.json"))
+    assert set(res) == {"baseline", "gvae", "mlvae", "clear", "clear-tc",
+                        "clear-mim (L1OutUB)", "clear-mim (CLUB-S)"}
+    for m in res.values():
+        assert {"acc", "pr", "roc"} <= set(m)
+        assert "overall" in m["pr"] and "stratified" in m["pr"]

@@ -56,6 +56,7 @@ class ContrastiveConfig:
     sim_fn: str = "cosine"  # cosine | l2 | modified_l2 | jeffrey | mahalanobis
     loss_name: str = "snn"  # snn | supcon_in | supcon_out
     ps: bool = True  # True: PS-SNN anti-contrastive on z_s; False: negated SNN
+    fused: bool = True  # use the fused Pallas kernel when cosine/snn
 
 
 @dataclasses.dataclass(frozen=True)

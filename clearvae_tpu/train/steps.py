@@ -75,15 +75,24 @@ def _forward(model, params, batch_stats, x, rng, *, train: bool,
     return out, new_stats
 
 
+def _contrastive(cc, mu, logvar, label, ps):
+    """Route to the fused Pallas kernel (cosine/snn) or the jnp path."""
+    if getattr(cc, "fused", True):
+        from clearvae_tpu.ops.pallas.fused_loss import fused_contrastive_loss
+
+        return fused_contrastive_loss(mu, logvar, label, sim_fn=cc.sim_fn,
+                                      temperature=cc.temperature,
+                                      loss_name=cc.loss_name, ps=ps)
+    return L.contrastive_loss(mu, logvar, label, sim_fn=cc.sim_fn,
+                              temperature=cc.temperature,
+                              loss_name=cc.loss_name, ps=ps)
+
+
 def _clear_terms(lp, label, contrastive_cfg):
     """The two CLEAR regularizers (reference trainer.py:456-472)."""
     cc = contrastive_cfg
-    c_loss = L.contrastive_loss(lp["mu_c"], lp["logvar_c"], label,
-                                sim_fn=cc.sim_fn, temperature=cc.temperature,
-                                loss_name=cc.loss_name, ps=False)
-    s_loss = L.contrastive_loss(lp["mu_s"], lp["logvar_s"], label,
-                                sim_fn=cc.sim_fn, temperature=cc.temperature,
-                                loss_name=cc.loss_name, ps=cc.ps)
+    c_loss = _contrastive(cc, lp["mu_c"], lp["logvar_c"], label, False)
+    s_loss = _contrastive(cc, lp["mu_s"], lp["logvar_s"], label, bool(cc.ps))
     if not cc.ps:
         s_loss = -s_loss
     return c_loss, s_loss
@@ -239,10 +248,8 @@ def make_clear_tc_step(model, factor_cls, tx, factor_tx, anneal_cfg,
                                              train=True)
         recon, kl_c, kl_s = L.vae_loss(x_hat, x, lp["mu_c"], lp["logvar_c"],
                                        lp["mu_s"], lp["logvar_s"])
-        c_loss = L.contrastive_loss(lp["mu_c"], lp["logvar_c"], label,
-                                    sim_fn=contrastive_cfg.sim_fn,
-                                    temperature=contrastive_cfg.temperature,
-                                    loss_name=contrastive_cfg.loss_name)
+        c_loss = _contrastive(contrastive_cfg, lp["mu_c"], lp["logvar_c"],
+                              label, False)
         d = factor_cls.apply({"params": factor_params}, z)
         mi_loss = jnp.mean(jax.nn.relu(jnp.log(d / (1 - d + 1e-12) + 1e-12)))
         w = logistic_anneal(step, beta=anneal_cfg.beta, loc=anneal_cfg.loc,
@@ -328,10 +335,8 @@ def make_clear_mim_step(model, mi_estimator, tx, mi_tx, anneal_cfg,
                                              train=True)
         recon, kl_c, kl_s = L.vae_loss(x_hat, x, lp["mu_c"], lp["logvar_c"],
                                        lp["mu_s"], lp["logvar_s"])
-        c_loss = L.contrastive_loss(lp["mu_c"], lp["logvar_c"], label,
-                                    sim_fn=contrastive_cfg.sim_fn,
-                                    temperature=contrastive_cfg.temperature,
-                                    loss_name=contrastive_cfg.loss_name)
+        c_loss = _contrastive(contrastive_cfg, lp["mu_c"], lp["logvar_c"],
+                              label, False)
         zd = z.shape[-1] // 2
         mi_loss = mi_estimator.apply({"params": mi_params}, z[:, :zd], z[:, zd:],
                                      rngs={"shuffle": jax.random.fold_in(rng, 1)})

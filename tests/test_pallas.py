@@ -1,0 +1,70 @@
+"""Fused Pallas contrastive kernel: A/B parity with the jnp reference path
+(values + hand-derived gradients), run in interpreter mode on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clearvae_tpu.ops.losses import contrastive_loss
+from clearvae_tpu.ops.pallas.fused_loss import _fused_snn, fused_contrastive_loss
+
+rs = np.random.RandomState(0)
+
+
+@pytest.mark.parametrize("b,z,ps,t", [
+    (128, 8, False, 0.1), (128, 8, True, 0.1),
+    (64, 32, True, 0.3), (100, 7, False, 2.0)])
+def test_fused_matches_jnp(b, z, ps, t):
+    mu = jnp.asarray(rs.randn(b, z), jnp.float32)
+    lbl = jnp.asarray(rs.randint(0, 10, b))
+    ref = contrastive_loss(mu, mu, lbl, sim_fn="cosine", temperature=t, ps=ps)
+    fus = _fused_snn(mu, lbl, t, ps)
+    np.testing.assert_allclose(float(fus), float(ref), rtol=1e-5)
+
+    gref = jax.grad(lambda m: contrastive_loss(
+        m, m * 0, lbl, sim_fn="cosine", temperature=t, ps=ps))(mu)
+    gfus = jax.grad(lambda m: _fused_snn(m, lbl, t, ps))(mu)
+    scale = float(jnp.abs(gref).max())
+    np.testing.assert_allclose(np.asarray(gfus), np.asarray(gref),
+                               atol=2e-5 * max(scale, 1.0), rtol=1e-3)
+
+
+def test_fused_singleton_rows():
+    lbl = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 4] * 4)
+    mu = jnp.asarray(rs.randn(32, 8), jnp.float32)
+    ref = contrastive_loss(mu, mu, lbl, sim_fn="cosine", temperature=0.1)
+    fus = _fused_snn(mu, lbl, 0.1, False)
+    np.testing.assert_allclose(float(fus), float(ref), rtol=1e-5)
+    g = jax.grad(lambda m: _fused_snn(m, lbl, 0.1, False))(mu)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fused_fallback_other_sims():
+    mu = jnp.asarray(rs.randn(16, 4), jnp.float32)
+    lv = jnp.asarray(rs.randn(16, 4) * 0.1, jnp.float32)
+    lbl = jnp.asarray(rs.randint(0, 4, 16))
+    a = fused_contrastive_loss(mu, lv, lbl, sim_fn="l2", temperature=0.5)
+    b = contrastive_loss(mu, lv, lbl, sim_fn="l2", temperature=0.5)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_fused_inside_train_step():
+    """The CLEAR train step with fused=True runs and matches fused=False."""
+    import optax
+    from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
+    from clearvae_tpu.models.vae import VAE
+    from clearvae_tpu.train.steps import init_vae_state, make_clear_vae_step
+
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    state = init_vae_state(model, tx, jax.random.key(0), 28, 1)
+    x = jnp.asarray(rs.rand(16, 28, 28, 1), jnp.float32)
+    lbl = jnp.asarray(rs.randint(0, 10, 16))
+    outs = {}
+    for fused in (True, False):
+        cc = ContrastiveConfig(alpha=100.0, fused=fused)
+        step = make_clear_vae_step(model, tx, AnnealConfig(), cc)
+        _, m = step(state, x, lbl, jax.random.key(1))
+        outs[fused] = float(m["loss"])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4)

@@ -56,7 +56,10 @@ class ContrastiveConfig:
     sim_fn: str = "cosine"  # cosine | l2 | modified_l2 | jeffrey | mahalanobis
     loss_name: str = "snn"  # snn | supcon_in | supcon_out
     ps: bool = True  # True: PS-SNN anti-contrastive on z_s; False: negated SNN
-    fused: bool = True  # use the fused Pallas kernel when cosine/snn
+    # Use the fused Pallas kernel (cosine/snn only). Measured on v5e: XLA's
+    # own fusion is ~10% faster at the reference size (B=128, z<=32), so the
+    # default is False; flip on for large-batch/large-z runs.
+    fused: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,101 @@
+"""Aggregate per-seed downstream-classification result JSONs into tidy
+DataFrames and boxplots (rebuild of reference code/expr/analyze_cls_rlt.ipynb
+cells 1-5: relative accuracy/mAP/mAUC vs #training styles K, per model)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+
+import numpy as np
+import pandas as pd
+
+
+def load_results(result_dir: str, prefix: str) -> pd.DataFrame:
+    """Read ``{prefix}-k{k}-{seed}.json`` files into a tidy frame with
+    columns model, k, seed, acc, map, mauc."""
+    rows = []
+    for path in sorted(glob.glob(os.path.join(result_dir, f"{prefix}-k*.json"))):
+        m = re.search(rf"{re.escape(prefix)}-k(\d+)-(\d+)\.json$", path)
+        if not m:
+            continue
+        k, seed = int(m.group(1)), int(m.group(2))
+        res = json.load(open(path))
+        for model, r in res.items():
+            rows.append({"model": model, "k": k, "seed": seed,
+                         "acc": r["acc"], "map": r["pr"]["overall"],
+                         "mauc": r["roc"]["overall"]})
+    return pd.DataFrame(rows)
+
+
+def relative_to_baseline(df: pd.DataFrame, baseline: str = "baseline") -> pd.DataFrame:
+    """Per (k, seed): metric of each model divided by the baseline CNN's
+    (the notebook's 'relative' views)."""
+    out = []
+    for (k, seed), grp in df.groupby(["k", "seed"]):
+        base = grp[grp.model == baseline]
+        if base.empty:
+            continue
+        b = base.iloc[0]
+        for _, r in grp.iterrows():
+            out.append({"model": r.model, "k": k, "seed": seed,
+                        "rel_acc": r.acc / max(b.acc, 1e-9),
+                        "rel_map": r["map"] / max(b["map"], 1e-9),
+                        "rel_mauc": r.mauc / max(b.mauc, 1e-9)})
+    return pd.DataFrame(out)
+
+
+def boxplots(df: pd.DataFrame, metric: str, save: str | None = None):
+    """Boxplot of ``metric`` vs k, grouped by model (matplotlib; the
+    reference uses seaborn with the same layout)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    models = sorted(df.model.unique())
+    ks = sorted(df.k.unique())
+    fig, ax = plt.subplots(figsize=(1.2 * len(ks) * len(models) / 4 + 3, 4))
+    width = 0.8 / len(models)
+    cmap = plt.get_cmap("tab10")
+    for mi, model in enumerate(models):
+        data = [df[(df.model == model) & (df.k == k)][metric].values
+                for k in ks]
+        pos = [k + (mi - len(models) / 2) * width for k in ks]
+        bp = ax.boxplot(data, positions=pos, widths=width * 0.9,
+                        patch_artist=True)
+        for box in bp["boxes"]:
+            box.set_facecolor(cmap(mi % 10))
+    ax.set_xticks(ks)
+    ax.set_xticklabels([str(k) for k in ks])
+    ax.set_xlabel("# training styles K")
+    ax.set_ylabel(metric)
+    handles = [plt.Line2D([0], [0], color=cmap(i % 10), lw=6)
+               for i in range(len(models))]
+    ax.legend(handles, models, fontsize=7, ncol=2)
+    if save:
+        fig.savefig(save, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    return fig
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--result_dir", type=str, required=True)
+    p.add_argument("--prefix", type=str, default="styledmnist")
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+    df = load_results(args.result_dir, args.prefix)
+    print(df.groupby(["model", "k"])[["acc", "map", "mauc"]].mean().round(3))
+    rel = relative_to_baseline(df)
+    if args.out and not rel.empty:
+        os.makedirs(args.out, exist_ok=True)
+        for metric in ["rel_acc", "rel_map", "rel_mauc"]:
+            boxplots(rel, metric, f"{args.out}/{args.prefix}-{metric}.png")
+    return df, rel
+
+
+if __name__ == "__main__":
+    main()

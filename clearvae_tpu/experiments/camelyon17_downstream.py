@@ -1,0 +1,85 @@
+"""Camelyon17 (WILDS) hospital-shift OOD downstream experiment
+(rebuild of reference code/run_camelyon17_downstream_expr.ipynb cells 4-11).
+
+Tumor/normal content × hospital (center) ∈ 5 styles; zoo additionally
+includes the LAM-CNN (lam_coef=0.001). Notebook hyperparameters: β=1/32,
+lr 1e-4, z=64, α=100, τ=0.3 (τ=0.1 for CLEAR-TC), epochs 7 (6 for CNNs),
+batch 64, MLP probe 1 epoch; results JSON persisted incrementally per model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from clearvae_tpu.data.camelyon17 import (
+    get_camelyon17,
+    kcamelyon_train_test_split,
+)
+from clearvae_tpu.data.common import train_valid_split_array
+from clearvae_tpu.experiments.common import experiment_helper, save_results
+from clearvae_tpu.experiments.downstream64 import model_zoo64
+from clearvae_tpu.train.trainers import SimpleCNNTrainer
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root_path", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=7)
+    p.add_argument("--cnn_epochs", type=int, default=6)
+    p.add_argument("--alpha", type=float, default=100.0)
+    p.add_argument("--temperature", type=float, default=0.3)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--n_synthetic", type=int, default=2048)
+    p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--k", type=int, default=1)
+    p.add_argument("--out", type=str,
+                   default="./expr_output/camelyon17/classification")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    seed = args.seed if args.seed is not None else int(np.random.randint(0, 1000))
+    data = get_camelyon17(args.data_root_path, n_synthetic=args.n_synthetic,
+                          seed=seed, max_images=args.max_images)
+    trainer_kwargs = {"beta": 1 / 32, "vae_lr": 1e-4, "z_dim": 64,
+                      "alpha": args.alpha, "temperature": args.temperature}
+    print(f"Experiment: k={args.k}, seed={seed}")
+    train_full, test, _ = kcamelyon_train_test_split(data, args.k, seed)
+    train, valid = train_valid_split_array(train_full, 0.85, seed)
+    models = model_zoo64(2, trainer_kwargs, seed, lam_coef=0.001,
+                         tc_temperature=0.1)
+
+    # incremental persistence like the notebook (cell 9): reload + overwrite
+    os.makedirs(args.out, exist_ok=True)
+    fpath = f"{args.out}/camelyon17-k{args.k}-{seed}.json"
+    results = json.load(open(fpath)) if os.path.exists(fpath) else {}
+    for name, (factory, params) in models.items():
+        print(f"\nTraining {name}:")
+        trainer = factory(**params)
+        if isinstance(trainer, SimpleCNNTrainer):
+            trainer.fit(args.cnn_epochs, train, valid,
+                        batch_size=args.batch_size)
+            (aupr, auroc), acc = trainer.evaluate(test,
+                                                  batch_size=args.batch_size)
+        else:
+            aupr, auroc, acc = experiment_helper(
+                train, valid, test, trainer, args.epochs,
+                batch_size=args.batch_size, n_class=2, probe_epochs=1)
+        results[name] = {
+            "acc": round(float(acc), 3),
+            "pr": {"overall": round(float(np.mean(list(aupr.values()))), 3),
+                   "stratified": {int(k): v for k, v in aupr.items()}},
+            "roc": {"overall": round(float(np.mean(list(auroc.values()))), 3),
+                    "stratified": {int(k): v for k, v in auroc.items()}},
+        }
+        save_results(results, fpath)
+
+
+if __name__ == "__main__":
+    main()

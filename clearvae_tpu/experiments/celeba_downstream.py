@@ -1,0 +1,55 @@
+"""CelebA train→test style-shift OOD downstream experiment
+(rebuild of reference code/run_celeba_downstream_expr.py).
+
+(male, smiling) ∈ 4 content classes × hair color ∈ 4 styles; k = 1..3;
+VAE64, z=64, β=1/32, Adam 3e-5, batch 128, epochs 41 (reference :225-238).
+Writes ``expr_output/celeba/classification/celeba-k{k}-{seed}.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from clearvae_tpu.data.celeba import get_celeba, kceleba_train_test_split
+from clearvae_tpu.data.common import train_valid_split_array
+from clearvae_tpu.experiments.common import run_model_zoo, save_results
+from clearvae_tpu.experiments.downstream64 import model_zoo64
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root_path", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=41)
+    p.add_argument("--alpha", type=float, default=1e2)
+    p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--n_synthetic", type=int, default=2048)
+    p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--k_max", type=int, default=3)
+    p.add_argument("--out", type=str,
+                   default="./expr_output/celeba/classification")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    seed = args.seed if args.seed is not None else int(np.random.randint(0, 1000))
+    celeba = get_celeba(args.data_root_path, n_synthetic=args.n_synthetic,
+                        seed=seed, max_images=args.max_images)
+    trainer_kwargs = {"beta": 1 / 32, "vae_lr": 3e-5, "z_dim": 64,
+                      "alpha": args.alpha, "temperature": args.temperature}
+    for k in range(1, args.k_max + 1):
+        print(f"Experiment: k={k}, seed={seed}")
+        train_full, test, _ = kceleba_train_test_split(celeba, k, seed)
+        train, valid = train_valid_split_array(train_full, 0.85, seed)
+        models = model_zoo64(4, trainer_kwargs, seed)
+        results = run_model_zoo(models, train, valid, test, args.epochs,
+                                batch_size=args.batch_size, n_class=4)
+        save_results(results, f"{args.out}/celeba-k{k}-{seed}.json")
+
+
+if __name__ == "__main__":
+    main()

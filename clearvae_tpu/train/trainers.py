@@ -80,10 +80,14 @@ class VAETrainerBase:
             self._epoch_fn = S.make_epoch_fn(self.train_step.core)
 
         if use_scan:
-            styled = train_ds.materialize()
-            data = jnp.asarray(styled[..., None])
+            if hasattr(train_ds, "materialize"):  # StyledDataset: [N, H, W]
+                data = jnp.asarray(train_ds.materialize()[..., None])
+            else:  # ArrayDataset: already [N, H, W, C] in [0, 1]
+                data = jnp.asarray(train_ds.images)
             labels = jnp.asarray(train_ds.labels)
             n = len(train_ds)
+            if n < batch_size:  # tiny split: shrink instead of dropping all
+                batch_size = n
             n_batches = n // batch_size
 
         for epoch in range(epochs):

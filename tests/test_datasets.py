@@ -1,0 +1,120 @@
+"""Dataset adapter tests: label protocols, k-style splits, runners on
+synthetic 64×64 data, Colored-MNIST, CheXpert maps, MI simulation."""
+
+import json
+
+import numpy as np
+import pytest
+
+from clearvae_tpu.data.camelyon17 import synthetic_camelyon17
+from clearvae_tpu.data.celeba import (
+    generate_celeba_labels,
+    kceleba_train_test_split,
+    synthetic_celeba,
+)
+from clearvae_tpu.data.chexpert import (
+    CHEXPERT_ATTR2STYLES,
+    generate_chexpert_labels,
+    synthetic_chexpert,
+)
+from clearvae_tpu.data.colored_mnist import COLOR_NAMES, make_colored_mnist
+from clearvae_tpu.data.common import ArrayDataset, kstyle_train_test_split
+from clearvae_tpu.data.pacs import synthetic_pacs
+
+
+def test_celeba_label_protocol():
+    """(male, smiling) → 4 classes; hair = argmax of 4 hair columns
+    (reference data_utils.py:95-117)."""
+    attr = np.zeros(40, np.int64)
+    attr[20] = 1  # male
+    attr[31] = 1  # smiling
+    attr[9] = 1   # blond
+    gs, hair = generate_celeba_labels(attr)
+    assert gs == 0 and hair == 1
+    attr[20] = 0
+    gs, hair = generate_celeba_labels(attr)
+    assert gs == 2
+    # tie broken in favor of the first hair column
+    attr[8] = 1
+    assert generate_celeba_labels(attr)[1] == 0
+
+
+def test_kstyle_split_disjoint():
+    ds = synthetic_celeba(400, seed=0)
+    train, test, sd = kceleba_train_test_split(ds, k=2, seed=1)
+    assert len(train) + len(test) == len(ds)
+    for c in range(4):
+        tr_styles = set(train.style_idx[train.labels == c].tolist())
+        te_styles = set(test.style_idx[test.labels == c].tolist())
+        assert not (tr_styles & te_styles)
+        assert tr_styles <= set(int(s) for s in sd[c]["train"])
+
+
+def test_synthetic_datasets_shapes():
+    for ds, nc, ns, ch in [(synthetic_celeba(32), 4, 4, 3),
+                           (synthetic_pacs(32), 7, 4, 3),
+                           (synthetic_camelyon17(32), 2, 5, 3),
+                           (synthetic_chexpert(32), 4, 6, 1)]:
+        assert ds.images.shape == (32, 64, 64, ch)
+        assert ds.images.min() >= 0 and ds.images.max() <= 1
+        assert ds.labels.max() < nc and ds.style_idx.max() < ns
+        batch = next(ds.batches(8, shuffle=True, seed=0))
+        assert batch[0].shape[0] == 8 and len(batch) == 3
+
+
+def test_chexpert_label_maps():
+    assert CHEXPERT_ATTR2STYLES[(1, 2)] == 5
+    row = {"Sex": 0, "Age": 1, "Pneumonia": 2}
+    outcome, style = generate_chexpert_labels(row, "Pneumonia")
+    assert outcome == 2 and style == 1
+
+
+def test_colored_mnist():
+    from clearvae_tpu.data.mnist import synthetic_mnist
+
+    imgs, labels = synthetic_mnist(40, seed=0)
+    ds = make_colored_mnist(imgs, labels, seed=0)
+    assert ds.images.shape == (40, 28, 28, 3)
+    assert len(COLOR_NAMES) == 7
+    # a 'red' styled image must have zero green/blue channels
+    red_idx = COLOR_NAMES.index("red")
+    sel = np.where(ds.style_idx == red_idx)[0]
+    if len(sel):
+        assert ds.images[sel][..., 1].sum() == 0
+        assert ds.images[sel][..., 2].sum() == 0
+
+
+def test_mi_simulation_tracks_knn():
+    """SNN/PS-SNN values must move with the kNN MI as cluster std grows
+    (the reference's simulation-study oracle, mi_experiment.ipynb)."""
+    from clearvae_tpu.experiments.mi_simulation import run
+
+    traces = run(stds=[1.0, 4.0], n_samples=300, reps=3, seed=0, ps=True)
+    knn = np.asarray(traces["knn_mi"]).reshape(2, 3).mean(1)
+    ps = np.asarray(traces["tau_0.3"]).reshape(2, 3).mean(1)
+    # both decrease as std grows (less separable → lower MI, lower PS-SNN)
+    assert knn[0] > knn[1]
+    assert ps[0] > ps[1]
+
+
+def test_analyze_aggregation(tmp_path):
+    from clearvae_tpu.experiments.analyze import (
+        load_results, relative_to_baseline, boxplots)
+
+    for k in (1, 2):
+        for seed in (7, 8):
+            res = {"baseline": {"acc": 0.5, "pr": {"overall": 0.5,
+                                                   "stratified": {}},
+                                "roc": {"overall": 0.5, "stratified": {}}},
+                   "clear": {"acc": 0.6 + 0.1 * k,
+                             "pr": {"overall": 0.6, "stratified": {}},
+                             "roc": {"overall": 0.7, "stratified": {}}}}
+            (tmp_path / f"styledmnist-k{k}-{seed}.json").write_text(
+                json.dumps(res))
+    df = load_results(str(tmp_path), "styledmnist")
+    assert len(df) == 8
+    rel = relative_to_baseline(df)
+    clear_k1 = rel[(rel.model == "clear") & (rel.k == 1)].rel_acc.iloc[0]
+    assert clear_k1 == pytest.approx(0.7 / 0.5)
+    boxplots(rel, "rel_acc", str(tmp_path / "box.png"))
+    assert (tmp_path / "box.png").exists()

@@ -159,7 +159,12 @@ def mutual_info_gap(label, latent_c, latent_s, *, backend: str = "numpy",
     p = np.bincount(label) / len(label)
     p = p[p > 0]
     h = float(-(p * np.log(p)).sum())
-    if backend == "numpy":
+    if backend == "native":
+        from clearvae_tpu.native.bindings import mutual_info_classif_native
+
+        mi_c = mutual_info_classif_native(np.asarray(latent_c), label)
+        mi_s = mutual_info_classif_native(np.asarray(latent_s), label)
+    elif backend == "numpy":
         mi_c = mutual_info_classif_np(np.asarray(latent_c), label)
         mi_s = mutual_info_classif_np(np.asarray(latent_s), label)
     else:

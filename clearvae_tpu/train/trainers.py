@@ -43,11 +43,14 @@ class VAETrainerBase:
     trainer.py:41-92)."""
 
     def __init__(self, model, verbose_period: int = 5, seed: int = 0,
-                 mesh=None, mig_backend: str = "numpy"):
+                 mesh=None, mig_backend: str = "auto"):
         self.model = model
         self.verbose_period = verbose_period
         self.seed = seed
         self.mesh = mesh
+        if mig_backend == "auto":
+            from clearvae_tpu.native.bindings import available
+            mig_backend = "native" if available() else "numpy"
         self.mig_backend = mig_backend
         self.state: Optional[S.TrainState] = None
         self._epoch_fn = None
@@ -173,7 +176,7 @@ class CLEARVAETrainer(VAETrainerBase):
 
     def __init__(self, model, optimizer: optax.GradientTransformation,
                  sim_fn: str, hyperparameter: dict, verbose_period: int = 5,
-                 seed: int = 0, mesh=None, mig_backend: str = "numpy"):
+                 seed: int = 0, mesh=None, mig_backend: str = "auto"):
         super().__init__(model, verbose_period, seed, mesh, mig_backend)
         self.tx = optimizer
         self.hp = hyperparameter
@@ -235,7 +238,7 @@ class ClearTCVAETrainer(VAETrainerBase):
 
     def __init__(self, model, factor_cls: FactorCls, optimizers: dict,
                  sim_fn: str, hyperparameter: dict, verbose_period: int = 5,
-                 seed: int = 0, mesh=None, mig_backend: str = "numpy"):
+                 seed: int = 0, mesh=None, mig_backend: str = "auto"):
         super().__init__(model, verbose_period, seed, mesh, mig_backend)
         self.tx = optimizers["vae_optim"]
         self.factor_tx = optimizers["factor_optim"]
@@ -275,7 +278,7 @@ class ClearMIMVAETrainer(VAETrainerBase):
 
     def __init__(self, model, mi_estimator, optimizers: dict, sim_fn: str,
                  hyperparameter: dict, verbose_period: int = 5, seed: int = 0,
-                 mesh=None, mig_backend: str = "numpy"):
+                 mesh=None, mig_backend: str = "auto"):
         super().__init__(model, verbose_period, seed, mesh, mig_backend)
         self.tx = optimizers["vae_optim"]
         self.mi_tx = optimizers["mi_estimator_optim"]

@@ -1,0 +1,110 @@
+"""End-to-end demo: train any model on Styled-MNIST and produce the
+qualitative artifacts — t-SNE latent plots, feature-swapping grid, style- and
+content-interpolation strips (rebuild of the reference demo notebooks
+code/demo_{clearvae,clearmimvae,cleartcvae,gvae,mlvae}.ipynb and
+code/swapping_interpolation.ipynb).
+
+Canonical hyperparameters follow the notebooks (e.g. clearvae: z=16,
+τ ∈ {0.3 cosine, 2 cosine}, α ∈ {10, 100}, β=1/8, 31–41 epochs;
+swapping_interpolation trains CLEAR with τ=2, α=100).
+
+Usage:
+  python -m clearvae_tpu.experiments.demo --model clearvae --epochs 31 \
+      [--data_root_path DIR] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from clearvae_tpu.data.mnist import get_mnist
+from clearvae_tpu.data.styled import make_styled_mnist, train_valid_split
+from clearvae_tpu.train.factories import (
+    get_clearvae_trainer,
+    get_cleartcvae_trainer,
+    get_clearmimvae_trainer,
+    get_hierarchical_vae_trainer,
+)
+from clearvae_tpu.utils import visual as V
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, default="clearvae",
+                   choices=["clearvae", "clearmimvae", "cleartcvae", "gvae",
+                            "mlvae"])
+    p.add_argument("--data_root_path", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=31)
+    p.add_argument("--n_total", type=int, default=20000)
+    p.add_argument("--z_dim", type=int, default=16)
+    p.add_argument("--alpha", type=float, default=100.0)
+    p.add_argument("--temperature", type=float, default=2.0)
+    p.add_argument("--beta", type=float, default=1 / 8)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--swap_n", type=int, default=8)
+    p.add_argument("--out", type=str, default="./expr_output/demo")
+    return p.parse_args(argv)
+
+
+def build_trainer(args):
+    common = dict(beta=args.beta, vae_lr=5e-4, z_dim=args.z_dim,
+                  seed=args.seed)
+    if args.model == "clearvae":
+        return get_clearvae_trainer(ps=True, alpha=args.alpha,
+                                    temperature=args.temperature, **common)
+    if args.model == "clearmimvae":
+        return get_clearmimvae_trainer(mi_estimator="CLUBSample", la=3,
+                                       mi_estimator_lr=2e-3, alpha=args.alpha,
+                                       temperature=args.temperature, **common)
+    if args.model == "cleartcvae":
+        return get_cleartcvae_trainer(la=1, factor_cls_lr=1e-4,
+                                      alpha=args.alpha,
+                                      temperature=args.temperature, **common)
+    return get_hierarchical_vae_trainer(group_mode=args.model.upper(),
+                                        **common)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    imgs, labels = get_mnist(args.data_root_path, "train",
+                             n_synthetic=args.n_total, seed=args.seed)
+    ds = make_styled_mnist(imgs, labels, seed=args.seed)
+    train, valid = train_valid_split(ds, seed=args.seed)
+
+    trainer = build_trainer(args)
+    trainer.fit(args.epochs, train, valid, batch_size=args.batch_size)
+    mig, mse = trainer.evaluate(valid, batch_size=args.batch_size)
+    print(f"final gMIG={round(mig, 3)} mse={round(mse, 3)}")
+
+    # qualitative artifacts from a validation batch
+    x, y, s = next(valid.batches(256, shuffle=False))
+    model, state = trainer.model, trainer.state
+    decode = V.make_decode_fn(model, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    (x_hat, lp, z), _ = model.apply(variables, x, explicit=True, train=False,
+                                    rngs={"reparam": jax.random.key(1)},
+                                    mutable=[])
+    z = np.asarray(z)
+    zh = args.z_dim // 2
+
+    # one example per class for the swap grid (swapping_interpolation.ipynb)
+    sel = [int(np.where(y == c)[0][0]) for c in range(10)
+           if (y == c).any()][: args.swap_n]
+    V.feature_swapping_plot(z[sel, :zh], z[sel, zh:], x[sel], decode,
+                            save=f"{args.out}/{args.model}-swapping.png")
+    V.interpolation_plot(x, z, decode, z_dim=zh, sample_size=8,
+                         save_prefix=f"{args.out}/{args.model}-interp")
+    mu_c, _, mu_s, _ = model.apply(variables, x, train=False, method="encode")
+    V.tsne_plot(np.asarray(mu_c), np.asarray(mu_s), np.asarray(y),
+                np.asarray(s), save_prefix=f"{args.out}/{args.model}-tsne")
+    print(f"artifacts under {args.out}/")
+
+
+if __name__ == "__main__":
+    main()

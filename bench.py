@@ -27,7 +27,7 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 BATCH = 128
 Z_DIM = 16
 N_WARMUP = 5
-N_STEPS = 60
+N_STEPS = 256
 N_IMAGES = 4096
 
 
@@ -35,6 +35,10 @@ def measure_tpu() -> float:
     import jax
     import jax.numpy as jnp
     import optax
+
+    from clearvae_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
     from clearvae_tpu.data.mnist import synthetic_mnist
@@ -69,7 +73,7 @@ def measure_tpu() -> float:
     state, m = one_epoch(state, 0)  # compile + warmup
     jax.block_until_ready(m["loss"])
 
-    n_epochs = max(1, N_STEPS // n_batches)
+    n_epochs = max(4, N_STEPS // n_batches)
     t0 = time.perf_counter()
     for e in range(n_epochs):
         state, m = one_epoch(state, 1 + e)

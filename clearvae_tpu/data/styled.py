@@ -27,6 +27,25 @@ import numpy as np
 from clearvae_tpu.ops.corruptions import EXPERIMENT_STYLES
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _styling_program(styles: tuple):
+    """One jitted styling program per style set — traced once per process,
+    reused across datasets/seeds (the base key is an argument)."""
+    from clearvae_tpu.ops.corruptions import make_style_fn
+
+    style_fn = make_style_fn(styles)
+
+    @jax.jit
+    def style_chunk(x, idx, sids, base):
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(sids)
+        return jax.vmap(style_fn)(x, idx, keys) / 255.0
+
+    return style_chunk
+
+
 def random_style_distribution(styles: Sequence[str], seed: int | None = None) -> dict:
     """Dirichlet(10,...) style probabilities (reference data_utils.py:14-26)."""
     rng = np.random.RandomState(seed)
@@ -71,7 +90,7 @@ class StyledDataset:
     def __len__(self):
         return len(self.labels)
 
-    def materialize(self, device_batch: int = 4096) -> np.ndarray:
+    def materialize(self, device_batch: int = 512) -> np.ndarray:
         """Style the whole dataset on device once (chunked), cache host-side.
 
         Equivalent of the reference's up-front host materialization, but the
@@ -79,16 +98,8 @@ class StyledDataset:
         fold_in(seed, absolute sample id) — chunking-invariant.
         """
         if self._styled_cache is None:
-            from clearvae_tpu.ops.corruptions import make_style_fn
-
-            style_fn = make_style_fn(self.styles)
+            style_chunk = _styling_program(self.styles)
             base = jax.random.key(self.seed)
-
-            @jax.jit
-            def style_chunk(x, idx, sids):
-                keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(sids)
-                return jax.vmap(style_fn)(x, idx, keys) / 255.0
-
             outs = []
             for s in range(0, len(self), device_batch):
                 e = min(s + device_batch, len(self))
@@ -97,7 +108,7 @@ class StyledDataset:
                 ix = np.pad(self.style_idx[s:e], (0, pad))
                 si = np.pad(self.sample_ids[s:e], (0, pad))
                 out = np.asarray(style_chunk(jnp.asarray(xs), jnp.asarray(ix),
-                                             jnp.asarray(si)))
+                                             jnp.asarray(si), base))
                 outs.append(out[: e - s])
             self._styled_cache = np.concatenate(outs, axis=0)
         return self._styled_cache

@@ -82,6 +82,8 @@ def boxplots(df: pd.DataFrame, metric: str, save: str | None = None):
 
 
 def main(argv=None):
+    from clearvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--result_dir", type=str, required=True)
     p.add_argument("--prefix", type=str, default="styledmnist")

@@ -35,6 +35,8 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from clearvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = get_args(argv)
     seed = args.seed if args.seed is not None else int(np.random.randint(0, 1000))
     celeba = get_celeba(args.data_root_path, n_synthetic=args.n_synthetic,

@@ -70,6 +70,8 @@ def build_trainer(args):
 
 
 def main(argv=None):
+    from clearvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = get_args(argv)
     os.makedirs(args.out, exist_ok=True)
     imgs, labels = get_mnist(args.data_root_path, "train",

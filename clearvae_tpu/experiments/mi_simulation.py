@@ -75,6 +75,8 @@ def plot(traces: dict, ps: bool, path: str):
 
 
 def main(argv=None):
+    from clearvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--n_samples", type=int, default=1500)
     p.add_argument("--reps", type=int, default=10)  # notebook uses 100

@@ -94,6 +94,8 @@ def model_zoo(args):
 
 
 def main(argv=None):
+    from clearvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = get_args(argv)
     betas = args.betas or BETAS
     train, valid, test = get_data(args)

@@ -43,6 +43,8 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from clearvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = get_args(argv)
     betas = args.betas or BETAS
     ds = get_celeba(args.data_root_path, n_synthetic=args.n_synthetic,

@@ -127,6 +127,8 @@ def experiment(args, k: int, seed: int, trainer_kwargs: dict) -> dict:
 
 
 def main(argv=None):
+    from clearvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = get_args(argv)
     seed = args.seed if args.seed is not None else int(np.random.randint(0, 1000))
     trainer_kwargs = {

@@ -13,11 +13,13 @@ Everything is NHWC (TPU-native layout); convolutions hit the MXU.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+Dtype = Any
 
 # torch's default kaiming_uniform(a=sqrt(5)) for conv/linear kernels is a
 # uniform draw with variance 1/(3*fan_in):
@@ -31,6 +33,7 @@ class ConvTorch(nn.Module):
     kernel: int
     stride: int
     padding: int
+    dtype: Dtype = jnp.float32  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x):
@@ -40,6 +43,7 @@ class ConvTorch(nn.Module):
             strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             kernel_init=torch_kernel_init,
+            dtype=self.dtype,
         )(x)
 
 
@@ -56,36 +60,42 @@ class ConvTransposeTorch(nn.Module):
     stride: int
     padding: int
     output_padding: int = 0
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         k, s, p, op = self.kernel, self.stride, self.padding, self.output_padding
         in_features = x.shape[-1]
         kernel = self.param(
-            "kernel", torch_kernel_init, (k, k, in_features, self.features), x.dtype
+            "kernel", torch_kernel_init, (k, k, in_features, self.features),
+            jnp.float32
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
         pad_lo, pad_hi = k - 1 - p, k - 1 - p + op
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(1, 1),
             padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y + bias
+        return y + bias.astype(self.dtype)
 
 
 class DenseTorch(nn.Module):
     features: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.features, kernel_init=torch_kernel_init)(x)
+        return nn.Dense(self.features, kernel_init=torch_kernel_init,
+                        dtype=self.dtype)(x)
 
 
-def batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
+def batch_norm(train: bool, name: str | None = None,
+               dtype: Dtype = jnp.float32) -> nn.BatchNorm:
     """BatchNorm with torch defaults (momentum 0.1 torch == 0.9 flax, eps 1e-5).
 
     Under jit-with-sharding data parallelism the batch axis is logically
@@ -94,7 +104,7 @@ def batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
     single-device numerics).
     """
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, name=name, dtype=dtype)
 
 
 class ConvBNReluStack(nn.Module):
@@ -105,11 +115,13 @@ class ConvBNReluStack(nn.Module):
     kernel: int
     stride: int
     padding: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for ch in self.channels:
-            x = ConvTorch(ch, self.kernel, self.stride, self.padding)(x)
-            x = batch_norm(train)(x)
+            x = ConvTorch(ch, self.kernel, self.stride, self.padding,
+                          dtype=self.dtype)(x)
+            x = batch_norm(train, dtype=self.dtype)(x)
             x = nn.relu(x)
         return x.reshape((x.shape[0], -1))

@@ -19,7 +19,7 @@ Layout is NHWC; reparameterization noise comes from the 'reparam' RNG stream.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -43,22 +43,24 @@ class _Decoder(nn.Module):
     channels: Sequence[int]  # unflatten channel, then ConvT feature counts; last = in_channel
     kernel: int
     output_paddings: Sequence[int]
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z, train: bool = True):
         c0 = self.channels[0]
-        h = DenseTorch(self.spatial * self.spatial * c0)(z)
-        h = batch_norm(train)(h)
+        h = DenseTorch(self.spatial * self.spatial * c0, dtype=self.dtype)(z)
+        h = batch_norm(train, dtype=self.dtype)(h)
         h = nn.relu(h)
         x = h.reshape((h.shape[0], self.spatial, self.spatial, c0))
         *mid, last = self.channels[1:]
         for ch, op in zip(mid, self.output_paddings[:-1]):
-            x = ConvTransposeTorch(ch, self.kernel, 2, 1, op)(x)
-            x = batch_norm(train)(x)
+            x = ConvTransposeTorch(ch, self.kernel, 2, 1, op, dtype=self.dtype)(x)
+            x = batch_norm(train, dtype=self.dtype)(x)
             x = nn.relu(x)
-        x = ConvTransposeTorch(last, self.kernel, 2, 1, self.output_paddings[-1])(x)
-        x = batch_norm(train)(x)  # BN over output channel before sigmoid (vae.py:44)
-        return nn.sigmoid(x)
+        x = ConvTransposeTorch(last, self.kernel, 2, 1,
+                               self.output_paddings[-1], dtype=self.dtype)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)  # BN over output channel before sigmoid (vae.py:44)
+        return nn.sigmoid(x).astype(jnp.float32)
 
 
 class VAE(nn.Module):
@@ -68,6 +70,9 @@ class VAE(nn.Module):
     in_channel: int = 1
     group_mode: Optional[str] = None
     n_classes: int = 10  # static class count for group evidence (GVAE/MLVAE)
+    # compute dtype for the conv stacks (params + heads + losses stay f32);
+    # jnp.bfloat16 roughly doubles training throughput on TPU
+    dtype: Any = jnp.float32
 
     # architecture hooks overridden by VAE64
     enc_channels: Sequence[int] = (32, 64, 128)
@@ -81,7 +86,8 @@ class VAE(nn.Module):
         return self.total_z_dim // 2
 
     def setup(self):
-        self.encoder = ConvBNReluStack(self.enc_channels, self.enc_kernel, 2, 1)
+        self.encoder = ConvBNReluStack(self.enc_channels, self.enc_kernel, 2, 1,
+                                       dtype=self.dtype)
         self.mu_c_head = DenseTorch(self.z_dim)
         self.logvar_c_head = DenseTorch(self.z_dim)
         self.mu_s_head = DenseTorch(self.z_dim)
@@ -90,11 +96,11 @@ class VAE(nn.Module):
             reversed(self.enc_channels[:-1])
         ) + (self.in_channel,)
         self.decoder = _Decoder(self.dec_spatial, dec_channels, self.dec_kernel,
-                                self.dec_output_paddings)
+                                self.dec_output_paddings, dtype=self.dtype)
 
     def encode(self, x: Array, train: bool = False):
         """(mu_c, logvar_c, mu_s, logvar_s) — reference vae.py:48-50."""
-        h = self.encoder(x, train)
+        h = self.encoder(x, train).astype(jnp.float32)
         return (self.mu_c_head(h), self.logvar_c_head(h),
                 self.mu_s_head(h), self.logvar_s_head(h))
 

@@ -47,21 +47,31 @@ class TrainState(struct.PyTreeNode):
 
 def init_vae_state(model, tx, rng, image_size: int, in_channel: int,
                    aux_model=None, aux_tx=None, aux_shapes=None) -> TrainState:
-    """Initialize params/batch_stats/optimizers from dummy shapes."""
-    x = jnp.zeros((2, image_size, image_size, in_channel))
-    k1, k2, k3 = jax.random.split(rng, 3)
-    variables = model.init({"params": k1, "reparam": k2}, x)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    aux_params = aux_opt_state = None
-    if aux_model is not None:
-        aux_vars = aux_model.init({"params": k3, "shuffle": k3},
-                                  *[jnp.zeros(s) for s in aux_shapes])
-        aux_params = aux_vars["params"]
-        aux_opt_state = aux_tx.init(aux_params)
-    return TrainState(params=params, batch_stats=batch_stats,
-                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32),
-                      aux_params=aux_params, aux_opt_state=aux_opt_state)
+    """Initialize params/batch_stats/optimizers from dummy shapes.
+
+    The whole initialization runs as ONE jitted program — eager flax init
+    dispatches dozens of tiny programs, which is seconds-per-model over a
+    remote-TPU tunnel."""
+
+    def build(rng):
+        x = jnp.zeros((2, image_size, image_size, in_channel))
+        k1, k2, k3 = jax.random.split(rng, 3)
+        variables = model.init({"params": k1, "reparam": k2}, x)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        aux_params = aux_opt_state = None
+        if aux_model is not None:
+            aux_vars = aux_model.init({"params": k3, "shuffle": k3},
+                                      *[jnp.zeros(s) for s in aux_shapes])
+            aux_params = aux_vars["params"]
+            aux_opt_state = aux_tx.init(aux_params)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32),
+                          aux_params=aux_params,
+                          aux_opt_state=aux_opt_state)
+
+    return jax.jit(build)(rng)
 
 
 def _forward(model, params, batch_stats, x, rng, *, train: bool,

@@ -68,11 +68,34 @@ class VAETrainerBase:
     def _post_train_batch(self, metrics):
         pass
 
+    def save_checkpoint(self, directory: str, metadata: dict | None = None):
+        """Orbax checkpoint of the full TrainState (new capability; the
+        reference persists results only, never weights — SURVEY §5)."""
+        from clearvae_tpu.utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(directory, self.state, metadata=metadata)
+
+    def restore_checkpoint(self, directory_or_path: str):
+        """Restore the latest (or given) checkpoint into this trainer."""
+        import os
+
+        from clearvae_tpu.utils.checkpoint import (
+            latest_checkpoint, restore_checkpoint)
+
+        path = directory_or_path
+        if os.path.isdir(path) and not os.path.basename(path).startswith("step_"):
+            path = latest_checkpoint(path)
+        template = self.state if self.state is not None else self._init_state()
+        self.state = restore_checkpoint(path, template)
+        return self.state
+
     def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
-            use_scan: bool | None = None):
+            use_scan: bool | None = None, checkpoint_dir: str | None = None,
+            checkpoint_every: int = 10):
         """Train. ``use_scan`` (default: on when no mesh) fuses every epoch
         into one donated XLA program via lax.scan over HBM-resident data —
-        the TPU-native fast path."""
+        the TPU-native fast path. With ``checkpoint_dir`` the TrainState is
+        saved every ``checkpoint_every`` epochs and at the end."""
         if self.state is None:
             self.state = self._init_state()
         if self.mesh is not None:
@@ -119,6 +142,9 @@ class VAETrainerBase:
             if valid_ds is not None and verbose:
                 mig, mse = self.evaluate(valid_ds, batch_size=batch_size)
                 print(f"gMIG: {round(mig, 3)}; mse: {round(float(mse), 3)}")
+            if checkpoint_dir and ((epoch + 1) % checkpoint_every == 0
+                                   or epoch == epochs - 1):
+                self.save_checkpoint(checkpoint_dir, {"epoch": epoch})
         return self._fit_result()
 
     def _post_train_epoch(self, ms):
@@ -339,12 +365,16 @@ class SimpleCNNTrainer:
 
     def _init_state(self):
         size = 28 if "64" not in type(self.model).__name__ else 64
-        x = jnp.zeros((2, size, size, self.model.in_channel))
-        variables = self.model.init({"params": self._next_rng()}, x)
-        return S.TrainState(params=variables["params"],
-                            batch_stats=variables.get("batch_stats", {}),
-                            opt_state=self.tx.init(variables["params"]),
-                            step=jnp.zeros((), jnp.int32))
+
+        def build(rng):
+            x = jnp.zeros((2, size, size, self.model.in_channel))
+            variables = self.model.init({"params": rng}, x)
+            return S.TrainState(params=variables["params"],
+                                batch_stats=variables.get("batch_stats", {}),
+                                opt_state=self.tx.init(variables["params"]),
+                                step=jnp.zeros((), jnp.int32))
+
+        return jax.jit(build)(self._next_rng())
 
     def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128):
         if self.state is None:
@@ -404,11 +434,15 @@ class DownstreamMLPTrainer:
         self.verbose_period = verbose_period
         self._rng = jax.random.key(seed)
         z_dim = self.vae_model.total_z_dim // 2
-        variables = self.mlp.init({"params": self._rng}, jnp.zeros((2, z_dim)))
-        self.state = S.TrainState(params=variables["params"],
-                                  batch_stats=variables.get("batch_stats", {}),
-                                  opt_state=self.tx.init(variables["params"]),
-                                  step=jnp.zeros((), jnp.int32))
+
+        def build(rng):
+            variables = self.mlp.init({"params": rng}, jnp.zeros((2, z_dim)))
+            return S.TrainState(params=variables["params"],
+                                batch_stats=variables.get("batch_stats", {}),
+                                opt_state=self.tx.init(variables["params"]),
+                                step=jnp.zeros((), jnp.int32))
+
+        self.state = jax.jit(build)(self._rng)
         self.train_step = S.make_probe_step(self.vae_model, None, self.mlp,
                                             self.tx)
         self.logits_fn = S.make_probe_logits_fn(self.vae_model, self.mlp)

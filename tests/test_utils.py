@@ -141,3 +141,26 @@ def test_styledmnist_runner_tiny(tmp_path):
     for m in res.values():
         assert {"acc", "pr", "roc"} <= set(m)
         assert "overall" in m["pr"] and "stratified" in m["pr"]
+
+
+def test_trainer_checkpoint_resume(tmp_path):
+    """fit with checkpoint_dir, then restore into a fresh trainer and verify
+    identical evaluation."""
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.data.styled import make_styled_mnist
+    from clearvae_tpu.train.factories import get_clearvae_trainer
+
+    imgs, labels = synthetic_mnist(96, seed=4)
+    ds = make_styled_mnist(imgs, labels, seed=4)
+    kw = dict(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16, alpha=100.0,
+              temperature=0.1, seed=5)
+    t1 = get_clearvae_trainer(**kw)
+    t1.fit(2, ds, batch_size=32, checkpoint_dir=str(tmp_path / "ck"),
+           checkpoint_every=1)
+    t2 = get_clearvae_trainer(**kw)
+    t2.restore_checkpoint(str(tmp_path / "ck"))
+    assert int(t2.state.step) == int(t1.state.step)
+    import jax
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

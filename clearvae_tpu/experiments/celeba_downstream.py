@@ -48,9 +48,11 @@ def main(argv=None):
         train_full, test, _ = kceleba_train_test_split(celeba, k, seed)
         train, valid = train_valid_split_array(train_full, 0.85, seed)
         models = model_zoo64(4, trainer_kwargs, seed)
+        fpath = f"{args.out}/celeba-k{k}-{seed}.json"
         results = run_model_zoo(models, train, valid, test, args.epochs,
-                                batch_size=args.batch_size, n_class=4)
-        save_results(results, f"{args.out}/celeba-k{k}-{seed}.json")
+                                batch_size=args.batch_size, n_class=4,
+                                resume_path=fpath)
+        save_results(results, fpath)
 
 
 if __name__ == "__main__":

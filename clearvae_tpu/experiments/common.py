@@ -28,12 +28,23 @@ def experiment_helper(train_ds, valid_ds, test_ds, vae_trainer, epochs: int,
 
 def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
                   batch_size: int = 128, n_class: int = 10,
-                  probe_epochs: int | None = None) -> dict:
+                  probe_epochs: int | None = None,
+                  resume_path: str | None = None) -> dict:
     """Train every (factory, params) entry and collect the reference's result
     schema: {model: {acc, pr: {overall, stratified}, roc: {...}}}
-    (reference run_styledmnist_downstream_expr.py:190-216)."""
+    (reference run_styledmnist_downstream_expr.py:190-216).
+
+    With ``resume_path`` the results JSON doubles as a manifest: models
+    already present are skipped and each finished model is persisted
+    immediately (the resumable-experiment pattern SURVEY §5 calls for)."""
     results = {}
+    if resume_path and os.path.exists(resume_path):
+        results = json.load(open(resume_path))
+        if results:
+            print(f"resuming: {sorted(results)} already done")
     for model_name, (trainer_func, params) in models.items():
+        if model_name in results:
+            continue
         print(f"\nTraining {model_name}:")
         trainer = trainer_func(**params)
         if isinstance(trainer, SimpleCNNTrainer):
@@ -52,6 +63,8 @@ def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
             "roc": {"overall": round(float(np.mean(list(auroc.values()))), 3),
                     "stratified": {int(k): v for k, v in auroc.items()}},
         }
+        if resume_path:
+            save_results(results, resume_path)
     return results
 
 

@@ -49,9 +49,11 @@ def main(argv=None):
         train_full, test, _ = kpacs_train_test_split(pacs, k, seed)
         train, valid = train_valid_split_array(train_full, 0.85, seed)
         models = model_zoo64(7, trainer_kwargs, seed)
+        fpath = f"{args.out}/pacs-k{k}-{seed}.json"
         results = run_model_zoo(models, train, valid, test, args.epochs,
-                                batch_size=args.batch_size, n_class=7)
-        save_results(results, f"{args.out}/pacs-k{k}-{seed}.json")
+                                batch_size=args.batch_size, n_class=7,
+                                resume_path=fpath)
+        save_results(results, fpath)
 
 
 if __name__ == "__main__":

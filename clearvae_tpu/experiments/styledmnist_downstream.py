@@ -120,9 +120,11 @@ def experiment(args, k: int, seed: int, trainer_kwargs: dict) -> dict:
     _, train, valid, test = get_data_splits(args.data_root_path, k, seed,
                                             args.n_train, args.n_test)
     models = model_zoo(trainer_kwargs, seed)
+    fpath = f"{args.out}/styledmnist-k{k}-{seed}.json"
     results = run_model_zoo(models, train, valid, test, args.epochs,
-                            batch_size=args.batch_size, n_class=10)
-    save_results(results, f"{args.out}/styledmnist-k{k}-{seed}.json")
+                            batch_size=args.batch_size, n_class=10,
+                            resume_path=fpath)
+    save_results(results, fpath)
     return results
 
 

@@ -2,6 +2,7 @@
 synthetic 64×64 data, Colored-MNIST, CheXpert maps, MI simulation."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -118,3 +119,28 @@ def test_analyze_aggregation(tmp_path):
     assert clear_k1 == pytest.approx(0.7 / 0.5)
     boxplots(rel, "rel_acc", str(tmp_path / "box.png"))
     assert (tmp_path / "box.png").exists()
+
+
+def test_run_model_zoo_resume(tmp_path):
+    """The results JSON doubles as a manifest: finished models are skipped."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.data.styled import make_styled_mnist
+    from clearvae_tpu.experiments.common import run_model_zoo
+    from clearvae_tpu.train.factories import get_cnn_trainer
+
+    imgs, labels = synthetic_mnist(80, seed=9)
+    ds = make_styled_mnist(imgs, labels, seed=9)
+    fpath = str(tmp_path / "r.json")
+    models = {"baseline": (get_cnn_trainer, {"n_class": 10, "seed": 9})}
+    r1 = run_model_zoo(models, ds, None, ds, epochs=1, batch_size=20,
+                       resume_path=fpath)
+    assert "baseline" in r1 and os.path.exists(fpath)
+    # second call with a poisoned factory must NOT retrain
+    models2 = {"baseline": (None, {})}
+    r2 = run_model_zoo(models2, ds, None, ds, epochs=1, batch_size=20,
+                       resume_path=fpath)
+    # compare after a JSON round-trip (int keys become strings on disk)
+    assert r2["baseline"] == json.loads(json.dumps(r1["baseline"]))

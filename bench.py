@@ -58,10 +58,18 @@ def measure_tpu() -> float:
                                ContrastiveConfig(alpha=1e2, temperature=0.1,
                                                  ps=True))
 
-    # whole epoch stays HBM-resident and runs as ONE scanned XLA program
+    # whole epoch stays HBM-resident and runs as ONE scanned XLA program;
+    # with multiple chips the batch shards over a 1-D data mesh (GSPMD)
     epoch_fn = make_epoch_fn(step.core)
     data = jnp.asarray(styled[..., None])
     lbl = jnp.asarray(labels)
+    if jax.device_count() > 1:
+        from clearvae_tpu.parallel.mesh import (make_mesh, replicate_state,
+                                                shard_batch)
+
+        mesh = make_mesh()
+        state = replicate_state(mesh, state)
+        data, lbl = shard_batch(mesh, data, lbl)
     n_batches = N_IMAGES // BATCH
     rs = np.random.RandomState(0)
 

@@ -37,6 +37,10 @@ def get_args(argv=None):
     p.add_argument("--model", type=str, default="clearvae",
                    choices=["clearvae", "clearmimvae", "cleartcvae", "gvae",
                             "mlvae"])
+    p.add_argument("--dataset", type=str, default="styled",
+                   choices=["styled", "colored"],
+                   help="styled = MNIST-C styles; colored = 7-color "
+                        "Colored-MNIST (reference expr_output/color-mnist)")
     p.add_argument("--data_root_path", type=str, default=None)
     p.add_argument("--epochs", type=int, default=31)
     p.add_argument("--n_total", type=int, default=20000)
@@ -52,8 +56,9 @@ def get_args(argv=None):
 
 
 def build_trainer(args):
+    in_ch = 3 if args.dataset == "colored" else 1
     common = dict(beta=args.beta, vae_lr=5e-4, z_dim=args.z_dim,
-                  seed=args.seed)
+                  seed=args.seed, in_channel=in_ch)
     if args.model == "clearvae":
         return get_clearvae_trainer(ps=True, alpha=args.alpha,
                                     temperature=args.temperature, **common)
@@ -76,8 +81,15 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     imgs, labels = get_mnist(args.data_root_path, "train",
                              n_synthetic=args.n_total, seed=args.seed)
-    ds = make_styled_mnist(imgs, labels, seed=args.seed)
-    train, valid = train_valid_split(ds, seed=args.seed)
+    if args.dataset == "colored":
+        from clearvae_tpu.data.colored_mnist import make_colored_mnist
+        from clearvae_tpu.data.common import train_valid_split_array
+
+        ds = make_colored_mnist(imgs, labels, seed=args.seed)
+        train, valid = train_valid_split_array(ds, seed=args.seed)
+    else:
+        ds = make_styled_mnist(imgs, labels, seed=args.seed)
+        train, valid = train_valid_split(ds, seed=args.seed)
 
     trainer = build_trainer(args)
     trainer.fit(args.epochs, train, valid, batch_size=args.batch_size)

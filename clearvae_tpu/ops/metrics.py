@@ -184,6 +184,10 @@ def accuracy(logits, y) -> float:
     return float((yh == np.asarray(y).ravel()).mean())
 
 
+# drop-in alias with the reference's spelling (reference losses.py:19)
+accurary = accuracy
+
+
 def _binary_average_precision(y_true: np.ndarray, score: np.ndarray) -> float:
     """sklearn average_precision_score (step interpolation, tie-grouped)."""
     order = np.argsort(-score, kind="mergesort")

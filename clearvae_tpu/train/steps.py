@@ -592,3 +592,26 @@ def make_epoch_fn(step_core):
         return state, ms
 
     return epoch_fn
+
+
+def make_probe_feature_step(mlp, tx):
+    """Probe step on pre-encoded features (frozen-VAE encode cached once)."""
+
+    @jax.jit
+    def step_fn(mlp_state: TrainState, mu_c, label):
+        def loss_fn(params, batch_stats):
+            logits, muts = mlp.apply({"params": params,
+                                      "batch_stats": batch_stats}, mu_c,
+                                     train=True, mutable=["batch_stats"])
+            return _ce(logits, label), muts["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(mlp_state.params, mlp_state.batch_stats)
+        updates, opt_state = tx.update(grads, mlp_state.opt_state,
+                                       mlp_state.params)
+        return mlp_state.replace(
+            params=optax.apply_updates(mlp_state.params, updates),
+            batch_stats=new_stats, opt_state=opt_state,
+            step=mlp_state.step + 1), {"loss": loss}
+
+    return step_fn

@@ -446,13 +446,47 @@ class DownstreamMLPTrainer:
         self.train_step = S.make_probe_step(self.vae_model, None, self.mlp,
                                             self.tx)
         self.logits_fn = S.make_probe_logits_fn(self.vae_model, self.mlp)
+        self._feat_step = S.make_probe_feature_step(self.mlp, self.tx)
 
     def _next_rng(self):
         self._rng, k = jax.random.split(self._rng)
         return k
 
-    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128):
+    def _encode_all(self, ds, batch_size: int = 512):
+        """One pass of the frozen eval-mode encoder over a dataset → mu_c.
+
+        The reference re-encodes every batch every epoch through the frozen
+        VAE (trainer.py:126); since eval-mode encode is deterministic this is
+        numerically identical and ~epochs× cheaper."""
         vs = self.vae_trainer.state
+        feats, labels = [], []
+        for batch in ds.batches(batch_size, shuffle=False):
+            mu_c = self.vae_model.apply(
+                {"params": vs.params, "batch_stats": vs.batch_stats},
+                jnp.asarray(batch[0]), train=False, method="encode")[0]
+            feats.append(np.asarray(mu_c))
+            labels.append(np.asarray(batch[1]))
+        return np.concatenate(feats), np.concatenate(labels)
+
+    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
+            cache_features: bool = True):
+        vs = self.vae_trainer.state
+        if cache_features:
+            feats, labels = self._encode_all(train_ds)
+            feats_j, labels_j = jnp.asarray(feats), jnp.asarray(labels)
+            n = len(labels)
+            bs = min(batch_size, n)
+            nb = n // bs
+            for epoch in range(epochs):
+                perm = np.random.RandomState(epoch).permutation(n)
+                for bi in perm[: nb * bs].reshape(nb, bs):
+                    mu_c = feats_j[bi]
+                    lbl = labels_j[bi]
+                    self.state, _ = self._feat_step(self.state, mu_c, lbl)
+                if valid_ds is not None and (epoch % self.verbose_period) == 0:
+                    (aupr, auroc), acc = self.evaluate(valid_ds, batch_size)
+                    print(f"probe epoch {epoch}: acc={round(acc, 3)}")
+            return
         for epoch in range(epochs):
             for batch in train_ds.batches(batch_size, shuffle=True, seed=epoch):
                 x, label = jnp.asarray(batch[0]), jnp.asarray(batch[1])

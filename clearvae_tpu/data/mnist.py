@@ -60,26 +60,31 @@ def synthetic_mnist(n: int, seed: int = 0, image_size: int = 28):
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, 10, size=n).astype(np.int64)
     images = np.zeros((n, image_size, image_size), np.float32)
+
+    # render each glyph once at its natural bitmap size, crop to the ink
+    glyphs = {}
+    for d in range(10):
+        tile = Image.new("L", (16, 16), 0)
+        ImageDraw.Draw(tile).text((2, 2), str(d), fill=255)
+        bbox = tile.getbbox()
+        glyphs[d] = tile.crop(bbox)
+
     for i in range(n):
-        img = Image.new("L", (image_size, image_size), 0)
-        d = ImageDraw.Draw(img)
-        # base glyph ~11x6 px with the default font; draw large-ish by
-        # rendering then resizing a 2x canvas
-        big = Image.new("L", (image_size * 2, image_size * 2), 0)
-        ImageDraw.Draw(big).text((image_size - 6, image_size - 11),
-                                 str(labels[i]), fill=255)
-        sc = 2.4 + 0.8 * rng.rand()
-        w = int(6 * sc * 2)
-        h = int(11 * sc * 2)
-        big = big.resize((image_size * 4, image_size * 4), Image.BILINEAR)
-        big = big.rotate(rng.uniform(-12, 12), resample=Image.BILINEAR,
-                         center=(image_size * 2 + (2 * sc - 12),
-                                 image_size * 2 + (2 * sc - 22) / 2))
-        crop = big.resize((image_size, image_size), Image.BILINEAR)
-        arr = np.asarray(crop, np.float32)
-        dx, dy = rng.randint(-2, 3, size=2)
-        arr = np.roll(arr, (dy, dx), axis=(0, 1))
-        images[i] = np.clip(arr * 1.8, 0, 255)
+        g = glyphs[int(labels[i])]
+        # MNIST-like: digit fills ~14-22 px of the 28 px box
+        target_h = int(rng.uniform(14, 22))
+        target_w = max(6, int(g.width * target_h / g.height))
+        big = g.resize((target_w * 4, target_h * 4), Image.BILINEAR)
+        big = big.rotate(rng.uniform(-15, 15), resample=Image.BILINEAR,
+                         expand=True, fillcolor=0)
+        digit = big.resize((max(1, big.width // 4), max(1, big.height // 4)),
+                           Image.BILINEAR)
+        canvas = Image.new("L", (image_size, image_size), 0)
+        max_x = image_size - digit.width
+        max_y = image_size - digit.height
+        canvas.paste(digit, (rng.randint(0, max(1, max_x + 1)),
+                             rng.randint(0, max(1, max_y + 1))))
+        images[i] = np.clip(np.asarray(canvas, np.float32) * 1.6, 0, 255)
     return images, labels
 
 

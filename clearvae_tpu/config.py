@@ -93,8 +93,10 @@ class TrainConfig:
     seed: int = 0
     verbose_period: int = 5
     n_classes: int = 10
-    # sync batch-norm statistics across data-parallel replicas (see SURVEY §2.2)
-    sync_batchnorm: bool = False
+    # NOTE on BatchNorm under data parallelism: with jit+GSPMD the batch axis
+    # is logically global, so statistics are always globally synced and DP
+    # numerics equal single-device (tests/test_parallel.py). There is no
+    # per-replica-BN mode; see clearvae_tpu/parallel/mesh.py.
 
 
 @dataclasses.dataclass(frozen=True)

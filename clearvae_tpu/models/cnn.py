@@ -17,7 +17,7 @@ from typing import Sequence
 import jax
 from flax import linen as nn
 
-from clearvae_tpu.models.layers import ConvBNReluStack, DenseTorch, batch_norm
+from clearvae_tpu.models.layers import ConvBNReluStack, DenseTorch
 
 Array = jax.Array
 

@@ -19,9 +19,8 @@ device (SURVEY §2.2 design decision (b)).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ import optax
 
 from clearvae_tpu import config as C
 from clearvae_tpu.models.factor import FactorCls
-from clearvae_tpu.models.mi_estimators import MI_ESTIMATORS
 from clearvae_tpu.models.mlp import ProbeMLP
 from clearvae_tpu.ops import metrics as MT
 from clearvae_tpu.parallel.mesh import shard_batch, replicate_state

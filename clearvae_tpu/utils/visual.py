@@ -198,7 +198,6 @@ def tsne_plot(mu_c, mu_s, labels, styles, content_labels=None,
 
 def make_decode_fn(model, state):
     """Decode closure over frozen params (eval mode)."""
-    import functools
 
     @jax.jit
     def decode(z):

@@ -81,3 +81,50 @@ def test_entry_compiles():
     fn, args = ge.entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("kind", ["tc", "mim"])
+def test_dual_optimizer_dp_matches_single_device(kind):
+    """The adversarial two-player steps (TC discriminator / MIM estimator)
+    must keep DP == single-device numerics too: both phases run in one XLA
+    program with batch-global terms."""
+    from clearvae_tpu.config import (AnnealConfig, ContrastiveConfig,
+                                     MIMConfig, TCConfig)
+    from clearvae_tpu.models.factor import FactorCls
+    from clearvae_tpu.models.mi_estimators import CLUBSample
+    from clearvae_tpu.train.steps import (make_clear_mim_step,
+                                          make_clear_tc_step)
+
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    anneal, contr = AnnealConfig(), ContrastiveConfig(alpha=100.0)
+    if kind == "tc":
+        aux = FactorCls(z_dim=16)
+        state = init_vae_state(model, tx, jax.random.key(0), 28, 1,
+                               aux_model=aux, aux_tx=optax.adam(1e-4),
+                               aux_shapes=[(2, 16)])
+        step = make_clear_tc_step(model, aux, tx, optax.adam(1e-4), anneal,
+                                  contr, TCConfig())
+    else:
+        aux = CLUBSample(x_dim=8, y_dim=8, hidden_size=16)
+        state = init_vae_state(model, tx, jax.random.key(0), 28, 1,
+                               aux_model=aux, aux_tx=optax.adam(2e-3),
+                               aux_shapes=[(2, 8), (2, 8)])
+        step = make_clear_mim_step(model, aux, tx, optax.adam(2e-3), anneal,
+                                   contr, MIMConfig())
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.rand(16, 28, 28, 1), jnp.float32)
+    label = jnp.asarray(rs.randint(0, 10, 16))
+    rng = jax.random.key(7)
+
+    _, m1 = step(state, x, label, rng)
+
+    mesh = make_mesh(8)
+    xs, ls = shard_batch(mesh, x, label)
+    _, m8 = step(replicate_state(mesh, state), xs, ls, rng)
+
+    for k in m1:
+        np.testing.assert_allclose(float(jnp.ravel(m1[k])[-1]),
+                                   float(jnp.ravel(m8[k])[-1]),
+                                   rtol=2e-4, err_msg=k)

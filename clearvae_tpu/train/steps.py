@@ -614,3 +614,39 @@ def make_probe_feature_step(mlp, tx):
             step=mlp_state.step + 1), {"loss": loss}
 
     return step_fn
+
+
+def make_styled_epoch_fn(step_core, styles=None, base_seed: int = 0):
+    """Epoch runner that styles each batch ON THE FLY inside the scan body.
+
+    Takes RAW images (0..255, [N, H, W]) + per-sample style indices +
+    absolute sample ids; corruption keys are fold_in(base, sample_id), so the
+    styled pixels are bit-identical to StyledDataset.materialize() while only
+    the raw uint8-scale data needs to stay resident. Use when the dataset is
+    too large to keep a styled float32 copy in HBM.
+    """
+    from clearvae_tpu.ops.corruptions import EXPERIMENT_STYLES, make_style_fn
+
+    style_fn = make_style_fn(styles or EXPERIMENT_STYLES)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, raw, labels, style_idx, sample_ids,
+                 batch_idx, rng):
+        base = jax.random.key(base_seed)
+        keys = jax.random.split(rng, batch_idx.shape[0])
+
+        def body(st, inp):
+            idx, k = inp
+            xb = jnp.take(raw, idx, axis=0)
+            sb = jnp.take(style_idx, idx, axis=0)
+            ib = jnp.take(sample_ids, idx, axis=0)
+            ck = jax.vmap(lambda i: jax.random.fold_in(base, i))(ib)
+            xb = jax.vmap(style_fn)(xb, sb, ck) / 255.0
+            st, metrics = step_core(st, xb[..., None],
+                                    jnp.take(labels, idx, axis=0), k)
+            return st, metrics
+
+        state, ms = jax.lax.scan(body, state, (batch_idx, keys))
+        return state, ms
+
+    return epoch_fn

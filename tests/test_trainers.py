@@ -152,3 +152,41 @@ def test_stratified_shuffle_preserves_labels():
         matches = np.where((x_np == xs_np[i]).all(axis=1))[0]
         assert len(matches) >= 1
         assert all(int(label[m]) == int(label[i]) for m in matches[:1])
+
+
+def test_on_the_fly_styling_matches_materialized():
+    """The in-step styling path must produce the same training trajectory as
+    materialize-then-train (identical per-sample corruption keys)."""
+    import optax
+    from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.data.styled import StyledDataset
+    from clearvae_tpu.models.vae import VAE
+    from clearvae_tpu.train.steps import (init_vae_state, make_clear_vae_step,
+                                          make_epoch_fn, make_styled_epoch_fn)
+
+    imgs, labels = synthetic_mnist(64, seed=0)
+    rs = np.random.RandomState(0)
+    style_idx = rs.randint(0, 6, 64).astype(np.int32)
+    ds = StyledDataset(imgs.astype(np.float32), labels, style_idx, seed=3)
+
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    step = make_clear_vae_step(model, tx, AnnealConfig(),
+                               ContrastiveConfig(alpha=100.0))
+    bi = jnp.asarray(np.arange(64).reshape(2, 32))
+    rng = jax.random.key(5)
+
+    s0 = init_vae_state(model, tx, jax.random.key(1), 28, 1)
+    mat = jnp.asarray(ds.materialize()[..., None])
+    s_mat, m_mat = make_epoch_fn(step.core)(
+        s0, mat, jnp.asarray(labels), bi, rng)
+
+    s0b = init_vae_state(model, tx, jax.random.key(1), 28, 1)
+    s_fly, m_fly = make_styled_epoch_fn(step.core, base_seed=3)(
+        s0b, jnp.asarray(imgs, jnp.float32), jnp.asarray(labels),
+        jnp.asarray(style_idx), jnp.asarray(np.arange(64, dtype=np.int32)),
+        bi, rng)
+
+    np.testing.assert_allclose(np.asarray(m_mat["loss"]),
+                               np.asarray(m_fly["loss"]), rtol=1e-5)

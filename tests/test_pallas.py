@@ -68,3 +68,25 @@ def test_fused_inside_train_step():
         _, m = step(state, x, lbl, jax.random.key(1))
         outs[fused] = float(m["loss"])
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-4)
+
+
+def test_pallas_style_kernel_matches_xla():
+    """The fused deterministic-style kernel must match the per-style XLA
+    kernels (scale included, via interpolation matmuls)."""
+    from clearvae_tpu.ops import corruptions as C
+    from clearvae_tpu.ops.pallas.style_kernel import (STYLE_CODES,
+                                                      pallas_style_batch)
+
+    rs2 = np.random.RandomState(7)
+    imgs = (rs2.rand(7, 28, 28) * 255).astype(np.float32)
+    names = ["identity", "stripe", "brightness", "inverse", "quantize",
+             "contrast", "scale"]
+    codes = jnp.asarray([STYLE_CODES[n] for n in names])
+    out = np.asarray(pallas_style_batch(jnp.asarray(imgs), codes, severity=5))
+    for i, name in enumerate(names):
+        fn = C.CORRUPTION_FNS[name]
+        if name in ("brightness", "quantize", "contrast", "scale"):
+            expected = np.asarray(fn(imgs[i], severity=5))
+        else:
+            expected = np.asarray(fn(imgs[i]))
+        np.testing.assert_allclose(out[i], expected, atol=0.51, err_msg=name)

@@ -517,7 +517,7 @@ def make_cnn_logits_fn(model):
 # ---------------------------------------------------------------------------
 
 
-def make_probe_step(vae_model, vae_state_getter, mlp, tx):
+def make_probe_step(vae_model, mlp, tx):
     """Train an MLP on the frozen VAE's mu_c (trainer.py:126-127).
 
     The VAE runs in eval mode (running BN stats), matching the reference's

@@ -442,7 +442,7 @@ class DownstreamMLPTrainer:
                                 step=jnp.zeros((), jnp.int32))
 
         self.state = jax.jit(build)(self._rng)
-        self.train_step = S.make_probe_step(self.vae_model, None, self.mlp,
+        self.train_step = S.make_probe_step(self.vae_model, self.mlp,
                                             self.tx)
         self.logits_fn = S.make_probe_logits_fn(self.vae_model, self.mlp)
         self._feat_step = S.make_probe_feature_step(self.mlp, self.tx)

@@ -164,3 +164,34 @@ def test_trainer_checkpoint_resume(tmp_path):
     for a, b in zip(jax.tree.leaves(t1.state.params),
                     jax.tree.leaves(t2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_inference_session(tmp_path):
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.data.styled import make_styled_mnist
+    from clearvae_tpu.models.vae import VAE
+    from clearvae_tpu.serve import InferenceSession
+    from clearvae_tpu.train.factories import get_clearvae_trainer
+
+    imgs, labels = synthetic_mnist(64, seed=6)
+    ds = make_styled_mnist(imgs, labels, seed=6)
+    t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,
+                             alpha=100.0, temperature=0.1, seed=6)
+    t.fit(1, ds, batch_size=32, checkpoint_dir=str(tmp_path / "ck"),
+          checkpoint_every=1)
+
+    sess = InferenceSession.from_checkpoint(VAE(total_z_dim=16),
+                                            str(tmp_path / "ck"))
+    x = ds.materialize()[:8][..., None]
+    heads = sess.encode(x)
+    assert all(h.shape == (8, 8) for h in heads)
+    rec = sess.reconstruct(x)
+    assert rec.shape == (8, 28, 28, 1)
+    swapped = sess.swap(x[:4], x[4:])
+    assert swapped.shape == (4, 28, 28, 1)
+    strip = sess.interpolate(x[0], x[1], num_steps=5, what="content")
+    assert strip.shape == (5, 28, 28, 1)
+    # checkpoint session matches the live trainer exactly
+    live = InferenceSession.from_trainer(t)
+    np.testing.assert_allclose(np.asarray(live.reconstruct(x)),
+                               np.asarray(rec), atol=1e-6)

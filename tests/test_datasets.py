@@ -144,3 +144,20 @@ def test_run_model_zoo_resume(tmp_path):
                        resume_path=fpath)
     # compare after a JSON round-trip (int keys become strings on disk)
     assert r2["baseline"] == json.loads(json.dumps(r1["baseline"]))
+
+
+def test_mig_expr_runner_tiny(tmp_path):
+    """MIG/ELBO sweep end-to-end on tiny data: 8 models, CSV schema."""
+    import pandas as pd
+
+    from clearvae_tpu.experiments import mig_expr as ME
+
+    df = ME.main(["--epochs", "1", "--n_total", "120", "--batch_size", "24",
+                  "--seed", "5", "--out", str(tmp_path)])
+    assert list(df.columns) == ["model", "beta", "mig", "elbo"]
+    assert set(df.model) == {"clear-ps", "clear-neg", "bvae", "clear-tc",
+                             "clear-mim (L1OutUB)", "clear-mim (CLUB-S)",
+                             "mlvae", "gvae"}
+    assert df.mig.notna().all() and df.elbo.notna().all()
+    import glob
+    assert glob.glob(str(tmp_path / "mig_elbo_s5_*.csv"))

@@ -26,7 +26,6 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 BATCH = 128
 Z_DIM = 16
-N_WARMUP = 5
 N_STEPS = 256
 N_IMAGES = 4096
 

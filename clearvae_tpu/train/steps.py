@@ -337,7 +337,6 @@ def make_clear_mim_step(model, mi_estimator, tx, mi_tx, anneal_cfg,
                         contrastive_cfg, mim_cfg):
     la = mim_cfg.la
     inner_steps = mim_cfg.inner_steps
-    z_half = None  # inferred at trace time
 
     def vae_loss_fn(params, batch_stats, mi_params, x, label, rng, step):
         (x_hat, lp, z), new_stats = _forward(model, params, batch_stats, x, rng,

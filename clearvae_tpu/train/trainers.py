@@ -375,19 +375,39 @@ class SimpleCNNTrainer:
 
         return jax.jit(build)(self._next_rng())
 
-    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128):
+    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
+            use_scan: bool | None = None):
         if self.state is None:
             self.state = self._init_state()
         if self.mesh is not None:
             self.state = replicate_state(self.mesh, self.state)
+        if use_scan is None:
+            use_scan = self.mesh is None and hasattr(self.train_step, "core")
+        if use_scan:
+            epoch_fn = S.make_epoch_fn(self.train_step.core)
+            if hasattr(train_ds, "materialize"):
+                data = jnp.asarray(train_ds.materialize()[..., None])
+            else:
+                data = jnp.asarray(train_ds.images)
+            labels = jnp.asarray(train_ds.labels)
+            n = len(train_ds)
+            bs = min(batch_size, n)
+            nb = n // bs
         for epoch in range(epochs):
             verbose = (epoch % self.verbose_period) == 0
             last = {}
-            for batch in train_ds.batches(batch_size, shuffle=True,
-                                          seed=self.seed + epoch):
-                x, label = _device_batch(batch, self.mesh)
-                self.state, last = self.train_step(self.state, x, label,
-                                                   self._next_rng())
+            if use_scan:
+                perm = np.random.RandomState(self.seed + epoch).permutation(n)
+                batch_idx = jnp.asarray(perm[: nb * bs].reshape(nb, bs))
+                self.state, ms = epoch_fn(self.state, data, labels, batch_idx,
+                                          self._next_rng())
+                last = {k: v[-1] for k, v in ms.items()}
+            else:
+                for batch in train_ds.batches(batch_size, shuffle=True,
+                                              seed=self.seed + epoch):
+                    x, label = _device_batch(batch, self.mesh)
+                    self.state, last = self.train_step(self.state, x, label,
+                                                       self._next_rng())
             if verbose and last:
                 print(f"epoch {epoch}: "
                       f"{ {k: round(float(v), 3) for k, v in last.items()} }")

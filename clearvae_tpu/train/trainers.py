@@ -37,25 +37,21 @@ def _device_batch(batch, mesh):
     return x, label
 
 
-class VAETrainerBase:
-    """Shared fit/eval scaffolding (reference Trainer/VAETrainer,
-    trainer.py:41-92)."""
+class TrainerCore:
+    """State/RNG/checkpoint plumbing + the scanned fit loop shared by every
+    trainer (reference Trainer base, trainer.py:41-75)."""
 
     def __init__(self, model, verbose_period: int = 5, seed: int = 0,
-                 mesh=None, mig_backend: str = "auto"):
+                 mesh=None):
         self.model = model
         self.verbose_period = verbose_period
         self.seed = seed
         self.mesh = mesh
-        if mig_backend == "auto":
-            from clearvae_tpu.native.bindings import available
-            mig_backend = "native" if available() else "numpy"
-        self.mig_backend = mig_backend
         self.state: Optional[S.TrainState] = None
         self._epoch_fn = None
         self._rng = jax.random.key(seed)
 
-    # subclasses set: self.train_step, self.eval_step
+    # subclasses set: self.train_step (and usually self.eval_step)
 
     def _next_rng(self):
         self._rng, k = jax.random.split(self._rng)
@@ -139,8 +135,7 @@ class VAETrainerBase:
                 vals = {k: round(float(v), 3) for k, v in last.items()}
                 print(f"epoch {epoch}: {vals}")
             if valid_ds is not None and verbose:
-                mig, mse = self.evaluate(valid_ds, batch_size=batch_size)
-                print(f"gMIG: {round(mig, 3)}; mse: {round(float(mse), 3)}")
+                self._verbose_valid(valid_ds, batch_size)
             if checkpoint_dir and ((epoch + 1) % checkpoint_every == 0
                                    or epoch == epochs - 1):
                 self.save_checkpoint(checkpoint_dir, {"epoch": epoch})
@@ -152,6 +147,26 @@ class VAETrainerBase:
 
     def _fit_result(self):
         return None
+
+    def _verbose_valid(self, valid_ds, batch_size):
+        raise NotImplementedError
+
+
+class VAETrainerBase(TrainerCore):
+    """VAE-trainer scaffolding: gMIG/MSE evaluation on sampled latents
+    (reference VAETrainer, trainer.py:78-92)."""
+
+    def __init__(self, model, verbose_period: int = 5, seed: int = 0,
+                 mesh=None, mig_backend: str = "auto"):
+        super().__init__(model, verbose_period, seed, mesh)
+        if mig_backend == "auto":
+            from clearvae_tpu.native.bindings import available
+            mig_backend = "native" if available() else "numpy"
+        self.mig_backend = mig_backend
+
+    def _verbose_valid(self, valid_ds, batch_size):
+        mig, mse = self.evaluate(valid_ds, batch_size=batch_size)
+        print(f"gMIG: {round(mig, 3)}; mse: {round(float(mse), 3)}")
 
     def evaluate(self, ds, batch_size: int = 128):
         """gMIG + reconstruction MSE over the dataset
@@ -342,25 +357,16 @@ class ClearMIMVAETrainer(VAETrainerBase):
         return self.mi_losses, self.mi_learning_losses
 
 
-class SimpleCNNTrainer:
+class SimpleCNNTrainer(TrainerCore):
     """Plain CE classifier baseline (reference SimpleCNNTrainer,
     trainer.py:168-232)."""
 
     def __init__(self, model, optimizer, verbose_period: int = 5,
                  seed: int = 0, mesh=None):
-        self.model = model
+        super().__init__(model, verbose_period, seed, mesh)
         self.tx = optimizer
-        self.verbose_period = verbose_period
-        self.seed = seed
-        self.mesh = mesh
-        self.state = None
-        self._rng = jax.random.key(seed)
         self.train_step = S.make_cnn_step(model, self.tx)
         self.logits_fn = S.make_cnn_logits_fn(model)
-
-    def _next_rng(self):
-        self._rng, k = jax.random.split(self._rng)
-        return k
 
     def _init_state(self):
         size = 28 if "64" not in type(self.model).__name__ else 64
@@ -375,46 +381,10 @@ class SimpleCNNTrainer:
 
         return jax.jit(build)(self._next_rng())
 
-    def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
-            use_scan: bool | None = None):
-        if self.state is None:
-            self.state = self._init_state()
-        if self.mesh is not None:
-            self.state = replicate_state(self.mesh, self.state)
-        if use_scan is None:
-            use_scan = self.mesh is None and hasattr(self.train_step, "core")
-        if use_scan:
-            epoch_fn = S.make_epoch_fn(self.train_step.core)
-            if hasattr(train_ds, "materialize"):
-                data = jnp.asarray(train_ds.materialize()[..., None])
-            else:
-                data = jnp.asarray(train_ds.images)
-            labels = jnp.asarray(train_ds.labels)
-            n = len(train_ds)
-            bs = min(batch_size, n)
-            nb = n // bs
-        for epoch in range(epochs):
-            verbose = (epoch % self.verbose_period) == 0
-            last = {}
-            if use_scan:
-                perm = np.random.RandomState(self.seed + epoch).permutation(n)
-                batch_idx = jnp.asarray(perm[: nb * bs].reshape(nb, bs))
-                self.state, ms = epoch_fn(self.state, data, labels, batch_idx,
-                                          self._next_rng())
-                last = {k: v[-1] for k, v in ms.items()}
-            else:
-                for batch in train_ds.batches(batch_size, shuffle=True,
-                                              seed=self.seed + epoch):
-                    x, label = _device_batch(batch, self.mesh)
-                    self.state, last = self.train_step(self.state, x, label,
-                                                       self._next_rng())
-            if verbose and last:
-                print(f"epoch {epoch}: "
-                      f"{ {k: round(float(v), 3) for k, v in last.items()} }")
-            if valid_ds is not None and verbose:
-                (aupr, auroc), acc = self.evaluate(valid_ds, batch_size)
-                print("val_aupr:", aupr, "val_auroc:", auroc, "val_acc:",
-                      round(acc, 3))
+    def _verbose_valid(self, valid_ds, batch_size):
+        (aupr, auroc), acc = self.evaluate(valid_ds, batch_size)
+        print("val_aupr:", aupr, "val_auroc:", auroc, "val_acc:",
+              round(acc, 3))
 
     def evaluate(self, ds, batch_size: int = 128):
         """((AUPR dict, AUROC dict), accuracy) — reference trainer.py:215-232."""

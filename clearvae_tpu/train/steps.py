@@ -649,3 +649,25 @@ def make_styled_epoch_fn(step_core, styles=None, base_seed: int = 0):
         return state, ms
 
     return epoch_fn
+
+
+def make_eval_epoch_fn(eval_step):
+    """Scan an eval step over a whole [n_batches, B, ...] batched dataset in
+    one XLA program; returns the metric/latent stacks (host reduces them).
+    Cuts per-batch dispatch from evaluation the way make_epoch_fn does for
+    training."""
+
+    @jax.jit
+    def eval_epoch(state: TrainState, data, labels, batch_idx, rng):
+        keys = jax.random.split(rng, batch_idx.shape[0])
+
+        def body(_, inp):
+            idx, k = inp
+            out = eval_step(state, jnp.take(data, idx, axis=0),
+                            jnp.take(labels, idx, axis=0), k)
+            return None, out
+
+        _, outs = jax.lax.scan(body, None, (batch_idx, keys))
+        return outs
+
+    return eval_epoch

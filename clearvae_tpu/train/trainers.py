@@ -49,6 +49,7 @@ class TrainerCore:
         self.mesh = mesh
         self.state: Optional[S.TrainState] = None
         self._epoch_fn = None
+        self._eval_epoch_fn = None
         self._rng = jax.random.key(seed)
 
     # subclasses set: self.train_step (and usually self.eval_step)
@@ -168,22 +169,56 @@ class VAETrainerBase(TrainerCore):
         mig, mse = self.evaluate(valid_ds, batch_size=batch_size)
         print(f"gMIG: {round(mig, 3)}; mse: {round(float(mse), 3)}")
 
-    def evaluate(self, ds, batch_size: int = 128):
+    def evaluate(self, ds, batch_size: int = 128, use_scan: bool | None = None):
         """gMIG + reconstruction MSE over the dataset
-        (reference evaluate, trainer.py:495-570)."""
+        (reference evaluate, trainer.py:495-570).
+
+        The scan path runs all full batches in ONE XLA program; the ragged
+        tail (reference keeps it, per-batch mean semantics) is evaluated
+        separately."""
+        if use_scan is None:
+            use_scan = self.mesh is None
         totals: dict = {}
         labels, z_cs, z_ss = [], [], []
         n_batches = 0
-        for batch in ds.batches(batch_size, shuffle=False):
-            x, label = _device_batch(batch, self.mesh)
-            out = self.eval_step(self.state, x, label, self._next_rng())
-            n_batches += 1
+
+        def accumulate(out, lbl, weight=1):
+            nonlocal n_batches
+            n_batches += weight
             for k, v in out.items():
-                if np.ndim(v) == 0:
-                    totals[k] = totals.get(k, 0.0) + float(v)
-            labels.append(np.asarray(batch[1]))
-            z_cs.append(np.asarray(out["z_c"]))
-            z_ss.append(np.asarray(out["z_s"]))
+                arr = np.asarray(v)
+                if arr.ndim <= 1 and k not in ("z_c", "z_s", "mu_c", "mu_s"):
+                    totals[k] = totals.get(k, 0.0) + float(arr.sum())
+            labels.append(np.asarray(lbl).reshape(-1))
+            z_cs.append(np.asarray(out["z_c"]).reshape(-1, out["z_c"].shape[-1]))
+            z_ss.append(np.asarray(out["z_s"]).reshape(-1, out["z_s"].shape[-1]))
+
+        if use_scan:
+            if self._eval_epoch_fn is None:
+                self._eval_epoch_fn = S.make_eval_epoch_fn(self.eval_step)
+            if hasattr(ds, "materialize"):
+                data = jnp.asarray(ds.materialize()[..., None])
+            else:
+                data = jnp.asarray(ds.images)
+            lbls = jnp.asarray(ds.labels)
+            n = len(ds)
+            bs = min(batch_size, n)
+            nb = n // bs
+            if nb > 0:
+                batch_idx = jnp.asarray(np.arange(nb * bs).reshape(nb, bs))
+                outs = self._eval_epoch_fn(self.state, data, lbls, batch_idx,
+                                           self._next_rng())
+                accumulate(outs, np.asarray(ds.labels[: nb * bs]), weight=nb)
+            if n > nb * bs:  # ragged tail, one direct call
+                sel = np.arange(nb * bs, n)
+                out = self.eval_step(self.state, data[sel], lbls[sel],
+                                     self._next_rng())
+                accumulate(out, ds.labels[sel])
+        else:
+            for batch in ds.batches(batch_size, shuffle=False):
+                x, label = _device_batch(batch, self.mesh)
+                out = self.eval_step(self.state, x, label, self._next_rng())
+                accumulate(out, batch[1])
         labels = np.concatenate(labels)
         z_c = np.concatenate(z_cs)
         z_s = np.concatenate(z_ss)

@@ -190,3 +190,18 @@ def test_on_the_fly_styling_matches_materialized():
 
     np.testing.assert_allclose(np.asarray(m_mat["loss"]),
                                np.asarray(m_fly["loss"]), rtol=1e-5)
+
+
+def test_evaluate_scan_matches_loop(data):
+    tr, va = data
+    t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,
+                             alpha=100.0, temperature=0.1, seed=11)
+    t.fit(1, tr, batch_size=32)
+    t._rng = jax.random.key(99)
+    mig_scan, mse_scan = t.evaluate(va, batch_size=32, use_scan=True)
+    t._rng = jax.random.key(99)
+    mig_loop, mse_loop = t.evaluate(va, batch_size=32, use_scan=False)
+    # the two paths derive per-batch reparam keys differently, so agreement
+    # is statistical (fresh z noise), not bitwise
+    np.testing.assert_allclose(mse_scan, mse_loop, rtol=2e-3)
+    np.testing.assert_allclose(mig_scan, mig_loop, atol=0.03)

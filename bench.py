@@ -80,13 +80,17 @@ def measure_tpu() -> float:
     state, m = one_epoch(state, 0)  # compile + warmup
     jax.block_until_ready(m["loss"])
 
+    # median of 3 timing windows — throughput through the remote-TPU tunnel
+    # is noisy, and a single short window under-reports steady state
     n_epochs = max(4, N_STEPS // n_batches)
-    t0 = time.perf_counter()
-    for e in range(n_epochs):
-        state, m = one_epoch(state, 1 + e)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    return n_epochs * n_batches * BATCH / dt
+    rates = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for e in range(n_epochs):
+            state, m = one_epoch(state, 1 + w * n_epochs + e)
+        jax.block_until_ready(m["loss"])
+        rates.append(n_epochs * n_batches * BATCH / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
 
 def measure_torch_baseline(max_seconds: float = 120.0) -> float:

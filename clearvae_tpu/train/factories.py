@@ -99,3 +99,35 @@ def get_clearmimvae_trainer(beta, mi_estimator: str, la, vae_lr,
         hyperparameter={"temperature": temperature, "beta": beta, "loc": 0,
                         "scale": 1, "alpha": alpha, "lambda": la},
         verbose_period=verbose_period, seed=seed, mesh=mesh)
+
+
+def trainer_from_config(cfg):
+    """Build a trainer from a typed ClearVAEConfig (the structured alternative
+    to the reference's stringly dicts). Dispatches on which optional section
+    is present: tc → CLEAR-TC, mim → CLEAR-MIM, else plain CLEAR."""
+    common = dict(
+        beta=cfg.anneal.beta, vae_lr=cfg.optim.lr,
+        z_dim=cfg.model.total_z_dim, alpha=cfg.contrastive.alpha,
+        temperature=cfg.contrastive.temperature,
+        vae_arch="VAE" if cfg.model.arch == "vae28" else "VAE64",
+        in_channel=cfg.model.in_channel, seed=cfg.train.seed,
+        verbose_period=cfg.train.verbose_period,
+        sim_fn=cfg.contrastive.sim_fn,
+    )
+    if cfg.model.group_mode:
+        common.pop("alpha"); common.pop("temperature"); common.pop("sim_fn")
+        return get_hierarchical_vae_trainer(group_mode=cfg.model.group_mode,
+                                            n_classes=cfg.train.n_classes,
+                                            **common)
+    if cfg.tc is not None:
+        common.pop("sim_fn")
+        return get_cleartcvae_trainer(la=cfg.tc.la,
+                                      factor_cls_lr=cfg.tc.factor_cls_lr,
+                                      **common)
+    if cfg.mim is not None:
+        common.pop("sim_fn")
+        return get_clearmimvae_trainer(mi_estimator=cfg.mim.estimator,
+                                       la=cfg.mim.la,
+                                       mi_estimator_lr=cfg.mim.mi_estimator_lr,
+                                       **common)
+    return get_clearvae_trainer(ps=cfg.contrastive.ps, **common)

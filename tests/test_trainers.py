@@ -206,3 +206,27 @@ def test_evaluate_scan_matches_loop(data):
     np.testing.assert_allclose(mse_scan, mse_loop, rtol=2e-3)
     # MIG over 24 samples is kNN-estimator noise; just bound the gap
     np.testing.assert_allclose(mig_scan, mig_loop, atol=0.1)
+
+
+def test_trainer_from_typed_config(data):
+    from clearvae_tpu.config import (ClearVAEConfig, ContrastiveConfig,
+                                     MIMConfig, ModelConfig, TCConfig)
+    from clearvae_tpu.train.factories import trainer_from_config
+    from clearvae_tpu.train.trainers import (CLEARVAETrainer,
+                                             ClearMIMVAETrainer,
+                                             ClearTCVAETrainer,
+                                             HierarchicalVAETrainer)
+
+    tr, _ = data
+    assert isinstance(trainer_from_config(ClearVAEConfig()), CLEARVAETrainer)
+    assert isinstance(trainer_from_config(ClearVAEConfig(tc=TCConfig())),
+                      ClearTCVAETrainer)
+    assert isinstance(
+        trainer_from_config(ClearVAEConfig(mim=MIMConfig(estimator="club_sample"))),
+        ClearMIMVAETrainer)
+    assert isinstance(
+        trainer_from_config(ClearVAEConfig(model=ModelConfig(group_mode="GVAE"))),
+        HierarchicalVAETrainer)
+    t = trainer_from_config(ClearVAEConfig(
+        contrastive=ContrastiveConfig(alpha=10.0, temperature=0.5)))
+    t.fit(1, tr, batch_size=32)

@@ -87,11 +87,14 @@ class TrainerCore:
 
     def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
             use_scan: bool | None = None, checkpoint_dir: str | None = None,
-            checkpoint_every: int = 10):
+            checkpoint_every: int = 10, logger=None):
         """Train. ``use_scan`` (default: on when no mesh) fuses every epoch
         into one donated XLA program via lax.scan over HBM-resident data —
         the TPU-native fast path. With ``checkpoint_dir`` the TrainState is
-        saved every ``checkpoint_every`` epochs and at the end."""
+        saved every ``checkpoint_every`` epochs and at the end; with
+        ``logger`` (utils.logging.MetricLogger) per-epoch metrics and
+        images/sec stream to JSONL."""
+        import time as _time
         if self.state is None:
             self.state = self._init_state()
         if self.mesh is not None:
@@ -114,6 +117,7 @@ class TrainerCore:
 
         for epoch in range(epochs):
             verbose = (epoch % self.verbose_period) == 0
+            t_epoch = _time.perf_counter()
             last = {}
             if use_scan:
                 perm = np.random.RandomState(self.seed + epoch).permutation(n)
@@ -132,6 +136,11 @@ class TrainerCore:
                                                           self._next_rng())
                     self._post_train_batch(metrics)
                     last = metrics
+            if logger is not None:
+                dt = _time.perf_counter() - t_epoch
+                logger.log("train", step=int(self.state.step), epoch=epoch,
+                           images_per_sec=len(train_ds) / dt if dt > 0 else 0,
+                           **{k: float(v) for k, v in last.items()})
             if verbose and last:
                 vals = {k: round(float(v), 3) for k, v in last.items()}
                 print(f"epoch {epoch}: {vals}")

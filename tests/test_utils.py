@@ -195,3 +195,22 @@ def test_inference_session(tmp_path):
     live = InferenceSession.from_trainer(t)
     np.testing.assert_allclose(np.asarray(live.reconstruct(x)),
                                np.asarray(rec), atol=1e-6)
+
+
+def test_fit_with_metric_logger(tmp_path):
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.data.styled import make_styled_mnist
+    from clearvae_tpu.train.factories import get_clearvae_trainer
+    from clearvae_tpu.utils.logging import MetricLogger
+
+    imgs, labels = synthetic_mnist(64, seed=8)
+    ds = make_styled_mnist(imgs, labels, seed=8)
+    t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,
+                             alpha=100.0, temperature=0.1, seed=8)
+    lg = MetricLogger(str(tmp_path / "m.jsonl"))
+    t.fit(2, ds, batch_size=32, logger=lg)
+    lg.close()
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert len(lines) == 2
+    assert lines[0]["tag"] == "train" and "images_per_sec" in lines[0]
+    assert "loss" in lines[1] and lines[1]["epoch"] == 1

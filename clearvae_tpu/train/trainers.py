@@ -50,6 +50,7 @@ class TrainerCore:
         self.state: Optional[S.TrainState] = None
         self._epoch_fn = None
         self._eval_epoch_fn = None
+        self._eval_epoch_fns: dict = {}
         self._rng = jax.random.key(seed)
 
     # subclasses set: self.train_step (and usually self.eval_step)
@@ -203,8 +204,12 @@ class VAETrainerBase(TrainerCore):
             z_ss.append(np.asarray(out["z_s"]).reshape(-1, out["z_s"].shape[-1]))
 
         if use_scan:
-            if self._eval_epoch_fn is None:
-                self._eval_epoch_fn = S.make_eval_epoch_fn(self.eval_step)
+            # cache one scanned program per eval_step (Hierarchical swaps
+            # eval steps for with_evidence_acc)
+            key = id(self.eval_step)
+            if key not in self._eval_epoch_fns:
+                self._eval_epoch_fns[key] = S.make_eval_epoch_fn(self.eval_step)
+            self._eval_epoch_fn = self._eval_epoch_fns[key]
             if hasattr(ds, "materialize"):
                 data = jnp.asarray(ds.materialize()[..., None])
             else:

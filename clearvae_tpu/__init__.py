@@ -20,3 +20,27 @@ Design stance (idiomatic TPU-first, not a torch translation):
 __version__ = "0.1.0"
 
 from clearvae_tpu import config, registry  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy convenience exports: clearvae_tpu.VAE, .get_clearvae_trainer,
+    .InferenceSession, ... without importing jax-heavy modules at package
+    import time."""
+    lazy = {
+        "VAE": ("clearvae_tpu.models.vae", "VAE"),
+        "VAE64": ("clearvae_tpu.models.vae", "VAE64"),
+        "InferenceSession": ("clearvae_tpu.serve", "InferenceSession"),
+        "get_clearvae_trainer": ("clearvae_tpu.train.factories", "get_clearvae_trainer"),
+        "get_cleartcvae_trainer": ("clearvae_tpu.train.factories", "get_cleartcvae_trainer"),
+        "get_clearmimvae_trainer": ("clearvae_tpu.train.factories", "get_clearmimvae_trainer"),
+        "get_hierarchical_vae_trainer": ("clearvae_tpu.train.factories", "get_hierarchical_vae_trainer"),
+        "get_cnn_trainer": ("clearvae_tpu.train.factories", "get_cnn_trainer"),
+        "get_lamcnn_trainer": ("clearvae_tpu.train.factories", "get_lamcnn_trainer"),
+        "trainer_from_config": ("clearvae_tpu.train.factories", "trainer_from_config"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'clearvae_tpu' has no attribute {name!r}")

@@ -27,6 +27,7 @@ class SimpleCNN(nn.Module):
 
     n_class: int = 10
     in_channel: int = 1
+    image_size: int = 28
     enc_channels: Sequence[int] = (32, 64, 128)
     enc_kernel: int = 3
     linear_head: bool = False
@@ -60,6 +61,7 @@ class SimpleCNN64(SimpleCNN):
 
     n_class: int = 4
     in_channel: int = 3
+    image_size: int = 64
     enc_channels: Sequence[int] = (32, 64, 128, 256, 512)
     enc_kernel: int = 4
 

@@ -68,6 +68,7 @@ class VAE(nn.Module):
 
     total_z_dim: int
     in_channel: int = 1
+    image_size: int = 28  # input spatial size (trainers init dummy shapes from it)
     group_mode: Optional[str] = None
     n_classes: int = 10  # static class count for group evidence (GVAE/MLVAE)
     # compute dtype for the conv stacks (params + heads + losses stay f32);
@@ -150,6 +151,7 @@ class VAE64(VAE):
     """64×64 RGB variant (reference: code/src/models/vae.py:105-156)."""
 
     in_channel: int = 3
+    image_size: int = 64
     enc_channels: Sequence[int] = (32, 64, 128, 256, 512)
     enc_kernel: int = 4
     dec_spatial: int = 2

@@ -21,10 +21,25 @@ DATA_AXIS = "data"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    """1-D data-parallel mesh over the first ``n_devices`` devices.
+
+    Raises if fewer than ``n_devices`` are visible — a silently truncated
+    mesh produces wrong shardings downstream. To get an N-device mesh on a
+    single-chip (or CPU) host, start the process with
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=N`` and the CPU
+    backend forced (see tests/conftest.py and __graft_entry__.dryrun_multichip).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}) but only {len(devices)} devices are "
+                f"visible on backend {jax.default_backend()!r}; force a "
+                f"virtual CPU mesh with "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+                f"+ jax.config.update('jax_platforms', 'cpu') before first "
+                f"backend use")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

@@ -89,21 +89,24 @@ class TrainerCore:
     def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
             use_scan: bool | None = None, checkpoint_dir: str | None = None,
             checkpoint_every: int = 10, logger=None):
-        """Train. ``use_scan`` (default: on when no mesh) fuses every epoch
-        into one donated XLA program via lax.scan over HBM-resident data —
-        the TPU-native fast path. With ``checkpoint_dir`` the TrainState is
-        saved every ``checkpoint_every`` epochs and at the end; with
-        ``logger`` (utils.logging.MetricLogger) per-epoch metrics and
-        images/sec stream to JSONL."""
+        """Train. ``use_scan`` (default on) fuses every epoch into one
+        donated XLA program via lax.scan over HBM-resident data — the
+        TPU-native fast path. Under a mesh the data is sample-sharded over
+        the 'data' axis and the scanned step keeps each gathered batch
+        sharded (same program trainers and bench.py run). With
+        ``checkpoint_dir`` the TrainState is saved every ``checkpoint_every``
+        epochs and at the end; with ``logger`` (utils.logging.MetricLogger)
+        per-epoch metrics and images/sec stream to JSONL."""
         import time as _time
         if self.state is None:
             self.state = self._init_state()
         if self.mesh is not None:
             self.state = replicate_state(self.mesh, self.state)
         if use_scan is None:
-            use_scan = self.mesh is None and hasattr(self.train_step, "core")
+            use_scan = hasattr(self.train_step, "core")
         if use_scan and self._epoch_fn is None:
-            self._epoch_fn = S.make_epoch_fn(self.train_step.core)
+            self._epoch_fn = S.make_epoch_fn(self.train_step.core,
+                                             mesh=self.mesh)
 
         if use_scan:
             if hasattr(train_ds, "materialize"):  # StyledDataset: [N, H, W]
@@ -112,6 +115,8 @@ class TrainerCore:
                 data = jnp.asarray(train_ds.images)
             labels = jnp.asarray(train_ds.labels)
             n = len(train_ds)
+            if self.mesh is not None and n % self.mesh.size == 0:
+                data, labels = shard_batch(self.mesh, data, labels)
             if n < batch_size:  # tiny split: shrink instead of dropping all
                 batch_size = n
             n_batches = n // batch_size
@@ -179,6 +184,14 @@ class VAETrainerBase(TrainerCore):
         mig, mse = self.evaluate(valid_ds, batch_size=batch_size)
         print(f"gMIG: {round(mig, 3)}; mse: {round(float(mse), 3)}")
 
+    def _vae_init(self, aux_model=None, aux_tx=None, aux_shapes=None):
+        """TrainState init from the model's own ``image_size``/``in_channel``
+        (works for any VAE subclass or custom-size variant)."""
+        return S.init_vae_state(self.model, self.tx, self._next_rng(),
+                                self.model.image_size, self.model.in_channel,
+                                aux_model=aux_model, aux_tx=aux_tx,
+                                aux_shapes=aux_shapes)
+
     def evaluate(self, ds, batch_size: int = 128, use_scan: bool | None = None):
         """gMIG + reconstruction MSE over the dataset
         (reference evaluate, trainer.py:495-570).
@@ -187,7 +200,7 @@ class VAETrainerBase(TrainerCore):
         tail (reference keeps it, per-batch mean semantics) is evaluated
         separately."""
         if use_scan is None:
-            use_scan = self.mesh is None
+            use_scan = True
         totals: dict = {}
         labels, z_cs, z_ss = [], [], []
         n_batches = 0
@@ -208,7 +221,8 @@ class VAETrainerBase(TrainerCore):
             # eval steps for with_evidence_acc)
             key = id(self.eval_step)
             if key not in self._eval_epoch_fns:
-                self._eval_epoch_fns[key] = S.make_eval_epoch_fn(self.eval_step)
+                self._eval_epoch_fns[key] = S.make_eval_epoch_fn(
+                    self.eval_step, mesh=self.mesh)
             self._eval_epoch_fn = self._eval_epoch_fns[key]
             if hasattr(ds, "materialize"):
                 data = jnp.asarray(ds.materialize()[..., None])
@@ -216,6 +230,8 @@ class VAETrainerBase(TrainerCore):
                 data = jnp.asarray(ds.images)
             lbls = jnp.asarray(ds.labels)
             n = len(ds)
+            if self.mesh is not None and n % self.mesh.size == 0:
+                data, lbls = shard_batch(self.mesh, data, lbls)
             bs = min(batch_size, n)
             nb = n // bs
             if nb > 0:
@@ -282,9 +298,7 @@ class CLEARVAETrainer(VAETrainerBase):
         self.eval_step = S.make_clear_vae_eval_step(model, contr)
 
     def _init_state(self):
-        size = 28 if type(self.model).__name__ == "VAE" else 64
-        return S.init_vae_state(self.model, self.tx, self._next_rng(), size,
-                                self.model.in_channel)
+        return self._vae_init()
 
 
 class HierarchicalVAETrainer(VAETrainerBase):
@@ -317,9 +331,7 @@ class HierarchicalVAETrainer(VAETrainerBase):
         return super().evaluate(ds, batch_size)
 
     def _init_state(self):
-        size = 28 if type(self.model).__name__ == "VAE" else 64
-        return S.init_vae_state(self.model, self.tx, self._next_rng(), size,
-                                self.model.in_channel)
+        return self._vae_init()
 
 
 class ClearTCVAETrainer(VAETrainerBase):
@@ -345,12 +357,9 @@ class ClearTCVAETrainer(VAETrainerBase):
         self.factor_d_losses: list = []
 
     def _init_state(self):
-        size = 28 if type(self.model).__name__ == "VAE" else 64
         z = self.model.total_z_dim
-        return S.init_vae_state(self.model, self.tx, self._next_rng(), size,
-                                self.model.in_channel,
-                                aux_model=self.factor_cls, aux_tx=self.factor_tx,
-                                aux_shapes=[(2, z)])
+        return self._vae_init(aux_model=self.factor_cls, aux_tx=self.factor_tx,
+                              aux_shapes=[(2, z)])
 
     def _post_train_batch(self, metrics):
         self.factor_d_losses.append(float(metrics["factor_d_loss"]))
@@ -386,12 +395,9 @@ class ClearMIMVAETrainer(VAETrainerBase):
         self.mi_learning_losses: list = []
 
     def _init_state(self):
-        size = 28 if type(self.model).__name__ == "VAE" else 64
         zh = self.model.total_z_dim // 2
-        return S.init_vae_state(self.model, self.tx, self._next_rng(), size,
-                                self.model.in_channel,
-                                aux_model=self.mi_estimator, aux_tx=self.mi_tx,
-                                aux_shapes=[(2, zh), (2, zh)])
+        return self._vae_init(aux_model=self.mi_estimator, aux_tx=self.mi_tx,
+                              aux_shapes=[(2, zh), (2, zh)])
 
     def _post_train_batch(self, metrics):
         self.mi_losses.append(float(metrics["mi_loss"]))
@@ -418,7 +424,7 @@ class SimpleCNNTrainer(TrainerCore):
         self.logits_fn = S.make_cnn_logits_fn(model)
 
     def _init_state(self):
-        size = 28 if "64" not in type(self.model).__name__ else 64
+        size = self.model.image_size
 
         def build(rng):
             x = jnp.zeros((2, size, size, self.model.in_channel))

@@ -83,6 +83,91 @@ def test_entry_compiles():
     assert np.isfinite(float(loss))
 
 
+def _tiny_ds(n=64, size=28, channels=1, seed=3):
+    from clearvae_tpu.data.common import ArrayDataset
+    rs = np.random.RandomState(seed)
+    return ArrayDataset(rs.rand(n, size, size, channels).astype(np.float32),
+                        rs.randint(0, 10, n), np.zeros(n, np.int64))
+
+
+def test_scanned_epoch_on_mesh_matches_single_device():
+    """The trainer fast path (scanned epoch) composes with the mesh and its
+    numerics match the meshless scanned epoch (VERDICT r1 item 2)."""
+    from clearvae_tpu.train.trainers import CLEARVAETrainer
+
+    ds = _tiny_ds()
+    hp = {"temperature": 0.1, "alpha": 100.0, "beta": 1 / 8, "ps": True}
+
+    t1 = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4), "cosine", hp,
+                         seed=0)
+    ms1 = []
+    t1._post_train_epoch = lambda ms: ms1.append(ms)
+    t1.fit(2, ds, batch_size=16, use_scan=True)
+    assert t1._epoch_fn is not None  # really took the scan path
+
+    t8 = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4), "cosine", hp,
+                         seed=0, mesh=make_mesh(8))
+    ms8 = []
+    t8._post_train_epoch = lambda ms: ms8.append(ms)
+    t8.fit(2, ds, batch_size=16, use_scan=True)
+    assert t8._epoch_fn is not None
+
+    # every per-batch loss of both epochs agrees — the numerics pin
+    for m1, m8 in zip(ms1, ms8):
+        np.testing.assert_allclose(np.asarray(m1["loss"]),
+                                   np.asarray(m8["loss"]), rtol=2e-4)
+    # params agree up to f32 reduction-order noise compounded through
+    # 8 Adam steps (sign-like updates on ~0 grads bound drift by ~steps*lr)
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t8.state.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 8 * 5e-4 * 2, np.abs(a - b).max()
+
+    # evaluation also goes through the scanned mesh path
+    mig1, mse1 = t1.evaluate(ds, batch_size=16)
+    mig8, mse8 = t8.evaluate(ds, batch_size=16)
+    np.testing.assert_allclose(mse1, mse8, rtol=1e-3)
+
+
+def test_custom_image_size_vae_trains_through_every_trainer():
+    """Models carry image_size; a nonstandard-size VAE subclass must train
+    through all four VAE trainers (VERDICT r1 item 8)."""
+    from clearvae_tpu.models.factor import FactorCls
+    from clearvae_tpu.models.mi_estimators import CLUBSample
+    from clearvae_tpu.train.trainers import (CLEARVAETrainer,
+                                             ClearMIMVAETrainer,
+                                             ClearTCVAETrainer,
+                                             HierarchicalVAETrainer)
+
+    class VAE56(VAE):
+        image_size: int = 56
+        enc_channels: tuple = (32, 64, 128, 256)
+        dec_spatial: int = 4
+        dec_output_paddings: tuple = (0, 1, 1, 1)
+
+    ds = _tiny_ds(n=32, size=56)
+    hp = {"temperature": 0.1, "alpha": 10.0, "beta": 1 / 8, "ps": True,
+          "lambda": 1.0}
+
+    trainers = [
+        CLEARVAETrainer(VAE56(total_z_dim=16), optax.adam(5e-4), "cosine", hp),
+        HierarchicalVAETrainer(VAE56(total_z_dim=16, group_mode="MLVAE"),
+                               optax.adam(5e-4), hp),
+        ClearTCVAETrainer(VAE56(total_z_dim=16), FactorCls(z_dim=16),
+                          {"vae_optim": optax.adam(5e-4),
+                           "factor_optim": optax.adam(1e-4)}, "cosine", hp),
+        ClearMIMVAETrainer(VAE56(total_z_dim=16),
+                           CLUBSample(x_dim=8, y_dim=8, hidden_size=16),
+                           {"vae_optim": optax.adam(5e-4),
+                            "mi_estimator_optim": optax.adam(2e-3)},
+                           "cosine", hp),
+    ]
+    for tr in trainers:
+        assert tr.model.image_size == 56
+        tr.fit(1, ds, batch_size=16)
+        assert int(tr.state.step) == 2
+
+
 @pytest.mark.parametrize("kind", ["tc", "mim"])
 def test_dual_optimizer_dp_matches_single_device(kind):
     """The adversarial two-player steps (TC discriminator / MIM estimator)

@@ -620,6 +620,41 @@ def make_epoch_fn(step_core, mesh=None):
     return epoch_fn
 
 
+def make_multi_epoch_fn(step_core, mesh=None):
+    """Fuse SEVERAL epochs into one XLA program (nested lax.scan).
+
+    ``batch_idx`` is [n_epochs, n_batches, B]. Each program dispatch through
+    the remote-TPU tunnel costs ~3ms of host latency; at reference scale one
+    epoch is ~11ms of device time, so per-epoch dispatch leaves the chip idle
+    ~25% of the time — fusing epochs measured 2.5× throughput (945k vs 377k
+    img/s on a v5e chip). Metrics are reduced to the LAST batch of each epoch
+    ([n_epochs] per key) to bound the output size.
+    """
+    constrain = _batch_constrainer(mesh)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_epoch_fn(state: TrainState, data, labels, batch_idx, rng):
+        keys = jax.random.split(rng, batch_idx.shape[0])
+
+        def outer(st, inp):
+            bi, k = inp
+            ks = jax.random.split(k, bi.shape[0])
+
+            def body(s2, inp2):
+                idx, kk = inp2
+                xb, lb = constrain(jnp.take(data, idx, axis=0),
+                                   jnp.take(labels, idx, axis=0))
+                return step_core(s2, xb, lb, kk)
+
+            st, ms = jax.lax.scan(body, st, (bi, ks))
+            return st, jax.tree.map(lambda a: a[-1], ms)
+
+        state, ms = jax.lax.scan(outer, state, (batch_idx, keys))
+        return state, ms
+
+    return multi_epoch_fn
+
+
 def make_probe_feature_step(mlp, tx):
     """Probe step on pre-encoded features (frozen-VAE encode cached once)."""
 

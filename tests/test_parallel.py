@@ -129,6 +129,22 @@ def test_scanned_epoch_on_mesh_matches_single_device():
     np.testing.assert_allclose(mse1, mse8, rtol=1e-3)
 
 
+def test_epochs_per_scan_fuses_blocks():
+    """fit(epochs_per_scan=k) runs k epochs per program dispatch (nested
+    scan) and still advances the step counter correctly, incl. on a mesh."""
+    from clearvae_tpu.train.trainers import CLEARVAETrainer
+
+    ds = _tiny_ds()
+    hp = {"temperature": 0.1, "alpha": 100.0, "beta": 1 / 8, "ps": True}
+    for mesh in (None, make_mesh(8)):
+        t = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4), "cosine",
+                            hp, seed=0, mesh=mesh)
+        t.fit(5, ds, batch_size=16, epochs_per_scan=2)
+        assert int(t.state.step) == 5 * (64 // 16)  # 3 blocks: 2+2+1 epochs
+        mig, mse = t.evaluate(ds, batch_size=16)
+        assert np.isfinite(mse)
+
+
 def test_custom_image_size_vae_trains_through_every_trainer():
     """Models carry image_size; a nonstandard-size VAE subclass must train
     through all four VAE trainers (VERDICT r1 item 8)."""

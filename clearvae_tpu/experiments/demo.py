@@ -38,9 +38,11 @@ def get_args(argv=None):
                    choices=["clearvae", "clearmimvae", "cleartcvae", "gvae",
                             "mlvae"])
     p.add_argument("--dataset", type=str, default="styled",
-                   choices=["styled", "colored"],
+                   choices=["styled", "colored", "celeba"],
                    help="styled = MNIST-C styles; colored = 7-color "
-                        "Colored-MNIST (reference expr_output/color-mnist)")
+                        "Colored-MNIST (reference expr_output/color-mnist); "
+                        "celeba = 64×64 VAE64 on (synthetic-fallback) CelebA "
+                        "(reference expr_output/celeba/celeba-swapping.png)")
     p.add_argument("--data_root_path", type=str, default=None)
     p.add_argument("--epochs", type=int, default=31)
     p.add_argument("--n_total", type=int, default=20000)
@@ -56,9 +58,13 @@ def get_args(argv=None):
 
 
 def build_trainer(args):
-    in_ch = 3 if args.dataset == "colored" else 1
-    common = dict(beta=args.beta, vae_lr=5e-4, z_dim=args.z_dim,
-                  seed=args.seed, in_channel=in_ch)
+    in_ch = 3 if args.dataset in ("colored", "celeba") else 1
+    arch = "VAE64" if args.dataset == "celeba" else "VAE"
+    # CelebA runs use the reference's 64×64 defaults (lr 3e-5,
+    # run_celeba_downstream_expr.py:225-234)
+    lr = 3e-5 if args.dataset == "celeba" else 5e-4
+    common = dict(beta=args.beta, vae_lr=lr, z_dim=args.z_dim,
+                  seed=args.seed, in_channel=in_ch, vae_arch=arch)
     if args.model == "clearvae":
         return get_clearvae_trainer(ps=True, alpha=args.alpha,
                                     temperature=args.temperature, **common)
@@ -79,15 +85,24 @@ def main(argv=None):
     enable_compilation_cache()
     args = get_args(argv)
     os.makedirs(args.out, exist_ok=True)
-    imgs, labels = get_mnist(args.data_root_path, "train",
-                             n_synthetic=args.n_total, seed=args.seed)
-    if args.dataset == "colored":
+    if args.dataset == "celeba":
+        from clearvae_tpu.data.celeba import get_celeba
+        from clearvae_tpu.data.common import train_valid_split_array
+
+        ds = get_celeba(args.data_root_path, n_synthetic=args.n_total,
+                        seed=args.seed)
+        train, valid = train_valid_split_array(ds, seed=args.seed)
+    elif args.dataset == "colored":
         from clearvae_tpu.data.colored_mnist import make_colored_mnist
         from clearvae_tpu.data.common import train_valid_split_array
 
+        imgs, labels = get_mnist(args.data_root_path, "train",
+                                 n_synthetic=args.n_total, seed=args.seed)
         ds = make_colored_mnist(imgs, labels, seed=args.seed)
         train, valid = train_valid_split_array(ds, seed=args.seed)
     else:
+        imgs, labels = get_mnist(args.data_root_path, "train",
+                                 n_synthetic=args.n_total, seed=args.seed)
         ds = make_styled_mnist(imgs, labels, seed=args.seed)
         train, valid = train_valid_split(ds, seed=args.seed)
 
@@ -107,9 +122,11 @@ def main(argv=None):
     z = np.asarray(z)
     zh = args.z_dim // 2
 
-    # one example per class for the swap grid (swapping_interpolation.ipynb)
-    sel = [int(np.where(y == c)[0][0]) for c in range(10)
-           if (y == c).any()][: args.swap_n]
+    # one example per class for the swap grid (swapping_interpolation.ipynb);
+    # datasets with <swap_n classes (CelebA: 4) fill the grid with extras
+    sel = [int(np.where(y == c)[0][0]) for c in range(int(np.max(y)) + 1)
+           if (y == c).any()]
+    sel = (sel + [i for i in range(len(y)) if i not in sel])[: args.swap_n]
     V.feature_swapping_plot(z[sel, :zh], z[sel, zh:], x[sel], decode,
                             save=f"{args.out}/{args.model}-swapping.png")
     V.interpolation_plot(x, z, decode, z_dim=zh, sample_size=8,

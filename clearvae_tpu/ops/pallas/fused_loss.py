@@ -183,6 +183,179 @@ def _fused_snn_bwd(temperature, ps, res, g):
 _fused_snn.defvjp(_fused_snn_fwd, _fused_snn_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fully fused CLEAR latent loss: KL(c) + KL(s) + SNN(mu_c) + (PS-)SNN(mu_s)
+# in ONE kernel (forward and backward). This is the SURVEY §7 fusion target:
+# the four latent heads are read from HBM exactly once; both [B, B] cosine
+# matrices live only in VMEM; the reference computes the same four terms as
+# ~30 separate torch ops (losses.py:41-50, 98-137).
+# ---------------------------------------------------------------------------
+
+
+def _snn_parts(mu, label, n, b, temperature, ps):
+    """Normalized rows, scaled sims, masks — shared by fwd/bwd."""
+    r = jnp.sqrt(jnp.sum(mu * mu, axis=1, keepdims=True))
+    r_c = jnp.maximum(r, _EPS)
+    mu_n = mu / r_c
+    s = jnp.dot(mu_n, mu_n.T, preferred_element_type=jnp.float32) / temperature
+    valid, pos = _masks(label, n, b, ps)
+    return mu_n, r, r_c, s, valid, pos
+
+
+def _snn_loss_from_parts(s, valid, pos, n, b):
+    lse_all, _ = _row_lse(s, valid)
+    lse_pos, _ = _row_lse(s, pos)
+    has_pos = jnp.sum(pos.astype(jnp.float32), axis=1, keepdims=True) > 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    row_ok = has_pos & (rows < b)
+    n_finite = jnp.maximum(jnp.sum(row_ok.astype(jnp.float32)), 1.0)
+    loss = jnp.sum(jnp.where(row_ok, -lse_pos + lse_all, 0.0)) / n_finite
+    return loss, row_ok, n_finite
+
+
+def _snn_grad_from_parts(mu_n, r, r_c, s, valid, pos, row_ok, n_finite,
+                         temperature, g):
+    neg = jnp.float32(-1e30)
+
+    def softmax(mask):
+        sm = jnp.where(mask, s, neg)
+        m = jnp.maximum(jnp.max(sm, axis=1, keepdims=True), -1e29)
+        e = jnp.where(mask, jnp.exp(sm - m), 0.0)
+        return e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-37)
+
+    G = row_ok.astype(jnp.float32) * (softmax(valid) - softmax(pos)) \
+        / (temperature * n_finite)
+    dmu_n = jnp.dot(G + G.T, mu_n, preferred_element_type=jnp.float32)
+    inner = jnp.sum(dmu_n * mu_n, axis=1, keepdims=True)
+    proj = jnp.where(r > _EPS, inner, 0.0)
+    return g * (dmu_n - proj * mu_n) / r_c
+
+
+def _clear_fwd_kernel(mu_c_ref, lv_c_ref, mu_s_ref, lv_s_ref, label_ref,
+                      out_ref, *, b: int, temperature: float, ps: bool):
+    mu_c, lv_c = mu_c_ref[:], lv_c_ref[:]
+    mu_s, lv_s = mu_s_ref[:], lv_s_ref[:]
+    label = label_ref[:]
+    n = mu_c.shape[0]
+
+    # KL halves: padded entries (mu=0, lv=0) contribute 1+0-0-1 = 0, so a
+    # plain full-array sum is exact
+    kl_c = -0.5 * jnp.sum(1 + lv_c - mu_c * mu_c - jnp.exp(lv_c)) / b
+    kl_s = -0.5 * jnp.sum(1 + lv_s - mu_s * mu_s - jnp.exp(lv_s)) / b
+
+    _, _, _, s_c, valid_c, pos_c = _snn_parts(mu_c, label, n, b, temperature,
+                                              False)
+    c_loss, _, _ = _snn_loss_from_parts(s_c, valid_c, pos_c, n, b)
+    _, _, _, s_s, valid_s, pos_s = _snn_parts(mu_s, label, n, b, temperature,
+                                              ps)
+    s_loss, _, _ = _snn_loss_from_parts(s_s, valid_s, pos_s, n, b)
+
+    out_ref[0, 0] = kl_c
+    out_ref[0, 1] = kl_s
+    out_ref[0, 2] = c_loss
+    out_ref[0, 3] = s_loss
+
+
+def _clear_bwd_kernel(mu_c_ref, lv_c_ref, mu_s_ref, lv_s_ref, label_ref,
+                      g_ref, dmu_c_ref, dlv_c_ref, dmu_s_ref, dlv_s_ref, *,
+                      b: int, temperature: float, ps: bool):
+    mu_c, lv_c = mu_c_ref[:], lv_c_ref[:]
+    mu_s, lv_s = mu_s_ref[:], lv_s_ref[:]
+    label = label_ref[:]
+    n = mu_c.shape[0]
+    g_klc, g_kls = g_ref[0, 0], g_ref[0, 1]
+    g_c, g_s = g_ref[0, 2], g_ref[0, 3]
+
+    # d kl/d mu = mu/b;  d kl/d logvar = -0.5 (1 - e^lv)/b  (0 on padding)
+    dmu_c = g_klc * mu_c / b
+    dlv_c_ref[:] = g_klc * (-0.5) * (1.0 - jnp.exp(lv_c)) / b
+    dmu_s = g_kls * mu_s / b
+    dlv_s_ref[:] = g_kls * (-0.5) * (1.0 - jnp.exp(lv_s)) / b
+
+    mu_n, r, r_c, s_c, valid_c, pos_c = _snn_parts(mu_c, label, n, b,
+                                                   temperature, False)
+    _, row_ok, n_fin = _snn_loss_from_parts(s_c, valid_c, pos_c, n, b)
+    dmu_c += _snn_grad_from_parts(mu_n, r, r_c, s_c, valid_c, pos_c, row_ok,
+                                  n_fin, temperature, g_c)
+    mu_n, r, r_c, s_s, valid_s, pos_s = _snn_parts(mu_s, label, n, b,
+                                                   temperature, ps)
+    _, row_ok, n_fin = _snn_loss_from_parts(s_s, valid_s, pos_s, n, b)
+    dmu_s += _snn_grad_from_parts(mu_n, r, r_c, s_s, valid_s, pos_s, row_ok,
+                                  n_fin, temperature, g_s)
+    dmu_c_ref[:] = dmu_c
+    dmu_s_ref[:] = dmu_s
+
+
+def _pad4(mu_c, lv_c, mu_s, lv_s, label):
+    b, z = mu_c.shape
+    n = _round_up(b, 8)
+    zp = _round_up(z, 128)
+
+    def pad(a):
+        return jnp.zeros((n, zp), jnp.float32).at[:b, :z].set(a)
+
+    lbl = jnp.full((n, 1), -1, jnp.int32).at[:b, 0].set(label.astype(jnp.int32))
+    return pad(mu_c), pad(lv_c), pad(mu_s), pad(lv_s), lbl, n, zp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_clear(mu_c, lv_c, mu_s, lv_s, label, temperature, ps):
+    return _fused_clear_fwd(mu_c, lv_c, mu_s, lv_s, label, temperature, ps)[0]
+
+
+def _fused_clear_fwd(mu_c, lv_c, mu_s, lv_s, label, temperature, ps):
+    args = _pad4(mu_c, lv_c, mu_s, lv_s, label)
+    b = mu_c.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_clear_fwd_kernel, b=b,
+                          temperature=float(temperature), ps=bool(ps)),
+        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        interpret=_interpret(),
+    )(*args[:5])
+    terms = (out[0, 0], out[0, 1], out[0, 2], out[0, 3])
+    return terms, (mu_c, lv_c, mu_s, lv_s, label)
+
+
+def _fused_clear_bwd(temperature, ps, res, g):
+    mu_c, lv_c, mu_s, lv_s, label = res
+    b, z = mu_c.shape
+    mu_cp, lv_cp, mu_sp, lv_sp, lbl, n, zp = _pad4(mu_c, lv_c, mu_s, lv_s,
+                                                   label)
+    g_arr = jnp.stack(g).reshape(1, 4).astype(jnp.float32)
+    shapes = [jax.ShapeDtypeStruct((n, zp), jnp.float32)] * 4
+    dmu_c, dlv_c, dmu_s, dlv_s = pl.pallas_call(
+        functools.partial(_clear_bwd_kernel, b=b,
+                          temperature=float(temperature), ps=bool(ps)),
+        out_shape=shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        interpret=_interpret(),
+    )(mu_cp, lv_cp, mu_sp, lv_sp, lbl, g_arr)
+    return (dmu_c[:b, :z], dlv_c[:b, :z], dmu_s[:b, :z], dlv_s[:b, :z], None)
+
+
+_fused_clear.defvjp(_fused_clear_fwd, _fused_clear_bwd)
+
+
+def fused_clear_latent_loss(mu_c: Array, logvar_c: Array, mu_s: Array,
+                            logvar_s: Array, label: Array, *,
+                            temperature: float = 0.1, ps: bool = True):
+    """(kl_c, kl_s, snn(mu_c), snn/ps-snn(mu_s)) from ONE Pallas kernel.
+
+    Semantics identical to ``vae_loss``'s KL halves +
+    ``contrastive_loss(sim_fn='cosine', loss_name='snn')`` on both latent
+    halves (the configuration of every reference experiment). The caller
+    negates the style term when ``ps=False`` (reference trainer.py:463-472).
+    Custom VJP: the backward pass is one fused kernel too.
+    """
+    return _fused_clear(mu_c, logvar_c, mu_s, logvar_s, label,
+                        float(temperature), bool(ps))
+
+
 def fused_contrastive_loss(mu: Array, logvar: Array, label: Array, *,
                            sim_fn: str = "cosine", temperature: float = 0.1,
                            loss_name: str = "snn", ps: bool = False) -> Array:

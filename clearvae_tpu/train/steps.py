@@ -113,12 +113,29 @@ def _clear_terms(lp, label, contrastive_cfg):
 
 
 def make_clear_vae_step(model, tx, anneal_cfg, contrastive_cfg):
+    cc = contrastive_cfg
+    use_fused = (getattr(cc, "fused", False) and cc.sim_fn == "cosine"
+                 and cc.loss_name == "snn")
+
     def loss_fn(params, batch_stats, x, label, rng, step):
         (x_hat, lp, _z), new_stats = _forward(model, params, batch_stats, x, rng,
                                               train=True)
-        recon, kl_c, kl_s = L.vae_loss(x_hat, x, lp["mu_c"], lp["logvar_c"],
-                                       lp["mu_s"], lp["logvar_s"])
-        c_loss, s_loss = _clear_terms(lp, label, contrastive_cfg)
+        if use_fused:
+            # one Pallas kernel for KL(c)+KL(s)+SNN+PS-SNN (fwd AND bwd)
+            from clearvae_tpu.ops.pallas.fused_loss import (
+                fused_clear_latent_loss)
+
+            recon = L.sample_level_reduction((x_hat - x) ** 2)
+            kl_c, kl_s, c_loss, s_loss = fused_clear_latent_loss(
+                lp["mu_c"], lp["logvar_c"], lp["mu_s"], lp["logvar_s"],
+                label, temperature=cc.temperature, ps=bool(cc.ps))
+            if not cc.ps:
+                s_loss = -s_loss
+        else:
+            recon, kl_c, kl_s = L.vae_loss(x_hat, x, lp["mu_c"],
+                                           lp["logvar_c"], lp["mu_s"],
+                                           lp["logvar_s"])
+            c_loss, s_loss = _clear_terms(lp, label, contrastive_cfg)
         w = logistic_anneal(step, beta=anneal_cfg.beta, loc=anneal_cfg.loc,
                             scale=anneal_cfg.scale)
         loss = (recon + w * kl_c + w * kl_s

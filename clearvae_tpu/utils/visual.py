@@ -185,7 +185,10 @@ def tsne_plot(mu_c, mu_s, labels, styles, content_labels=None,
             fig.savefig(path, bbox_inches="tight", dpi=120)
         plt.close(fig)
 
-    kw = dict(n_components=2, perplexity=30, learning_rate=200, init="pca")
+    # reference uses perplexity=30 (visual_utils.py:173); sklearn requires
+    # perplexity < n_samples, so clamp for tiny smoke inputs
+    perp = min(30, max(2, len(mu_c) - 1))
+    kw = dict(n_components=2, perplexity=perp, learning_rate=200, init="pca")
     emb_c = TSNE(**kw).fit_transform(mu_c)
     emb_s = TSNE(**kw).fit_transform(mu_s)
     p = save_prefix

@@ -26,6 +26,9 @@ def get_args(argv=None):
     p.add_argument("--temperature", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--epochs_per_scan", type=int, default=1,
+                   help="fuse this many epochs per XLA dispatch "
+                        "(validation prints at block boundaries)")
     p.add_argument("--n_synthetic", type=int, default=2048)
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--k_max", type=int, default=3)
@@ -51,7 +54,8 @@ def main(argv=None):
         fpath = f"{args.out}/celeba-k{k}-{seed}.json"
         results = run_model_zoo(models, train, valid, test, args.epochs,
                                 batch_size=args.batch_size, n_class=4,
-                                resume_path=fpath)
+                                resume_path=fpath,
+                            epochs_per_scan=args.epochs_per_scan)
         save_results(results, fpath)
 
 

@@ -12,13 +12,17 @@ from clearvae_tpu.train.trainers import DownstreamMLPTrainer, SimpleCNNTrainer
 
 def experiment_helper(train_ds, valid_ds, test_ds, vae_trainer, epochs: int,
                       batch_size: int = 128, n_class: int = 10,
-                      probe_lr: float = 3e-4, probe_epochs: int | None = None):
+                      probe_lr: float = 3e-4, probe_epochs: int | None = None,
+                      epochs_per_scan: int = 1):
     """Train VAE → freeze → train MLP probe on mu_c → test metrics
     (reference experiment_helper, run_styledmnist_downstream_expr.py:92-127).
 
     The probe trains for the same number of epochs as the VAE unless
-    ``probe_epochs`` overrides (the Camelyon17 notebook uses 1)."""
-    vae_trainer.fit(epochs, train_ds, valid_ds, batch_size=batch_size)
+    ``probe_epochs`` overrides (the Camelyon17 notebook uses 1).
+    ``epochs_per_scan`` > 1 fuses epoch blocks into single program dispatches
+    (validation/verbose then fire at block boundaries)."""
+    vae_trainer.fit(epochs, train_ds, valid_ds, batch_size=batch_size,
+                    epochs_per_scan=epochs_per_scan)
     probe = DownstreamMLPTrainer(vae_trainer, n_class=n_class, lr=probe_lr)
     probe.fit(probe_epochs or epochs, train_ds, valid_ds,
               batch_size=batch_size)
@@ -29,7 +33,8 @@ def experiment_helper(train_ds, valid_ds, test_ds, vae_trainer, epochs: int,
 def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
                   batch_size: int = 128, n_class: int = 10,
                   probe_epochs: int | None = None,
-                  resume_path: str | None = None) -> dict:
+                  resume_path: str | None = None,
+                  epochs_per_scan: int = 1) -> dict:
     """Train every (factory, params) entry and collect the reference's result
     schema: {model: {acc, pr: {overall, stratified}, roc: {...}}}
     (reference run_styledmnist_downstream_expr.py:190-216).
@@ -48,14 +53,16 @@ def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
         print(f"\nTraining {model_name}:")
         trainer = trainer_func(**params)
         if isinstance(trainer, SimpleCNNTrainer):
-            trainer.fit(epochs, train_ds, valid_ds, batch_size=batch_size)
+            trainer.fit(epochs, train_ds, valid_ds, batch_size=batch_size,
+                        epochs_per_scan=epochs_per_scan)
             (aupr, auroc), acc = trainer.evaluate(test_ds,
                                                   batch_size=batch_size)
         else:
             aupr, auroc, acc = experiment_helper(
                 train_ds, valid_ds, test_ds, trainer, epochs,
                 batch_size=batch_size, n_class=n_class,
-                probe_epochs=probe_epochs)
+                probe_epochs=probe_epochs,
+                epochs_per_scan=epochs_per_scan)
         results[model_name] = {
             "acc": round(float(acc), 3),
             "pr": {"overall": round(float(np.mean(list(aupr.values()))), 3),

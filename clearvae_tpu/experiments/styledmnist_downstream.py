@@ -60,6 +60,9 @@ def get_args(argv=None):
     p.add_argument("--n_train", type=int, default=50000)
     p.add_argument("--n_test", type=int, default=10000)
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--epochs_per_scan", type=int, default=1,
+                   help="fuse this many epochs per XLA dispatch "
+                        "(validation prints at block boundaries)")
     p.add_argument("--k_max", type=int, default=N_STYLES - 1)
     p.add_argument("--out", type=str,
                    default="./expr_output/styled-mnist/classification")
@@ -123,7 +126,8 @@ def experiment(args, k: int, seed: int, trainer_kwargs: dict) -> dict:
     fpath = f"{args.out}/styledmnist-k{k}-{seed}.json"
     results = run_model_zoo(models, train, valid, test, args.epochs,
                             batch_size=args.batch_size, n_class=10,
-                            resume_path=fpath)
+                            resume_path=fpath,
+                            epochs_per_scan=args.epochs_per_scan)
     save_results(results, fpath)
     return results
 

@@ -258,13 +258,6 @@ def factor_shuffling(z: Array, strategy: str = "permute_1") -> Array:
     return jnp.concatenate([z_c, z_s_changed], axis=1)
 
 
-def _bce(pred, target):
-    """torch.nn.BCELoss: mean of -(t log p + (1-t) log(1-p)), log clamped."""
-    eps = 1e-12
-    p = jnp.clip(pred, eps, 1 - eps)
-    return -jnp.mean(target * jnp.log(p) + (1 - target) * jnp.log(1 - p))
-
-
 def make_clear_tc_step(model, factor_cls, tx, factor_tx, anneal_cfg,
                        contrastive_cfg, tc_cfg):
     la = tc_cfg.la
@@ -276,8 +269,10 @@ def make_clear_tc_step(model, factor_cls, tx, factor_tx, anneal_cfg,
                                        lp["mu_s"], lp["logvar_s"])
         c_loss = _contrastive(contrastive_cfg, lp["mu_c"], lp["logvar_c"],
                               label, False)
-        d = factor_cls.apply({"params": factor_params}, z)
-        mi_loss = jnp.mean(jax.nn.relu(jnp.log(d / (1 - d + 1e-12) + 1e-12)))
+        # relu(log(d/(1−d))) == relu(logit): identical to the reference
+        # formula (trainer.py:664-673) but with bounded gradients at d→0/1
+        logit = factor_cls.apply({"params": factor_params}, z, True)
+        mi_loss = jnp.mean(jax.nn.relu(logit))
         w = logistic_anneal(step, beta=anneal_cfg.beta, loc=anneal_cfg.loc,
                             scale=anneal_cfg.scale)
         loss = (recon + w * kl_c + w * kl_s
@@ -303,13 +298,15 @@ def make_clear_tc_step(model, factor_cls, tx, factor_tx, anneal_cfg,
         z2 = jax.lax.stop_gradient(z2)
 
         def disc_loss_fn(factor_params):
-            d_joint = factor_cls.apply({"params": factor_params}, z2)
-            d_marg = factor_cls.apply({"params": factor_params},
-                                      factor_shuffling(z2, tc_cfg.shuffle_strategy))
-            pred = jnp.concatenate([d_joint, d_marg], axis=0)
+            l_joint = factor_cls.apply({"params": factor_params}, z2, True)
+            l_marg = factor_cls.apply(
+                {"params": factor_params},
+                factor_shuffling(z2, tc_cfg.shuffle_strategy), True)
+            logits = jnp.concatenate([l_joint, l_marg], axis=0)
             target = jnp.concatenate(
-                [jnp.ones_like(d_joint), jnp.zeros_like(d_marg)], axis=0)
-            return _bce(pred, target)
+                [jnp.ones_like(l_joint), jnp.zeros_like(l_marg)], axis=0)
+            # == torch BCELoss(sigmoid(logits), target) but saturation-stable
+            return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, target))
 
         d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(state.aux_params)
         d_updates, aux_opt_state = factor_tx.update(d_grads,
@@ -336,8 +333,8 @@ def make_clear_tc_eval_step(model, factor_cls, contrastive_cfg):
         c_loss = L.contrastive_loss(lp["mu_c"], lp["logvar_c"], label,
                                     sim_fn=contrastive_cfg.sim_fn,
                                     temperature=contrastive_cfg.temperature)
-        d = factor_cls.apply({"params": state.aux_params}, z)
-        mi_loss = jnp.mean(jax.nn.relu(jnp.log(d / (1 - d + 1e-12) + 1e-12)))
+        logit = factor_cls.apply({"params": state.aux_params}, z, True)
+        mi_loss = jnp.mean(jax.nn.relu(logit))
         z_dim = z.shape[-1] // 2
         return {"recon": recon, "kl_c": kl_c, "kl_s": kl_s, "c_loss": c_loss,
                 "mi_loss": mi_loss, "z_c": z[:, :z_dim], "z_s": z[:, z_dim:]}

@@ -73,6 +73,33 @@ def test_clear_tc_returns_history(data):
     assert all(np.isfinite(h) for h in hist)
 
 
+def test_clear_tc_survives_saturated_discriminator(data):
+    """Regression: once the discriminator saturates (d→1), the reference
+    formula log(d/(1−d)) explodes its gradient (observed NaN on the 64×64
+    pipeline). The logit-space TC term must keep every loss finite."""
+    import jax.numpy as jnp
+
+    tr, _ = data
+    t = get_cleartcvae_trainer(beta=1 / 8, la=1, vae_lr=5e-4,
+                               factor_cls_lr=1e-4, z_dim=16, alpha=100.0,
+                               temperature=0.1)
+    t.state = t._init_state()
+    # drive the final discriminator layer to certain-joint everywhere
+    aux = jax.tree.map(lambda a: a, t.state.aux_params)
+    aux["DenseTorch_1"]["Dense_0"]["bias"] = (
+        aux["DenseTorch_1"]["Dense_0"]["bias"] + 50.0)
+    t.state = t.state.replace(aux_params=aux)
+    d = t.factor_cls.apply({"params": t.state.aux_params},
+                           jnp.zeros((4, 16)))
+    assert float(d.min()) > 0.999999  # saturated for real
+    hist = t.fit(2, tr, batch_size=32)
+    assert all(np.isfinite(h) for h in hist)
+    mig, mse = t.evaluate(tr, batch_size=32)
+    assert np.isfinite(mse)
+    for leaf in jax.tree.leaves(t.state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 @pytest.mark.parametrize("est", ["CLUBSample", "L1OutUB"])
 def test_clear_mim_returns_histories(data, est):
     tr, _ = data

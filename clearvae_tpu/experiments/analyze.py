@@ -80,6 +80,26 @@ def boxplots(df: pd.DataFrame, metric: str, save: str | None = None):
     return fig
 
 
+def markdown_table(df: pd.DataFrame, metric: str = "acc") -> str:
+    """Mean-over-seeds (±std when >1 seed) `metric` per model × k, as a
+    markdown table (the BASELINE.md evidence format)."""
+    ks = sorted(df.k.unique())
+    lines = ["| model | " + " | ".join(f"k={k}" for k in ks) + " |",
+             "|---|" + "---|" * len(ks)]
+    for model in sorted(df.model.unique()):
+        cells = []
+        for k in ks:
+            vals = df[(df.model == model) & (df.k == k)][metric].values
+            if len(vals) == 0:
+                cells.append("—")
+            elif len(vals) == 1:
+                cells.append(f"{vals[0]:.3f}")
+            else:
+                cells.append(f"{vals.mean():.3f}±{vals.std():.3f}")
+        lines.append(f"| {model} | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
 def main(argv=None):
     from clearvae_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -87,9 +107,15 @@ def main(argv=None):
     p.add_argument("--result_dir", type=str, required=True)
     p.add_argument("--prefix", type=str, default="styledmnist")
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--markdown", action="store_true",
+                   help="print mean±std accuracy as a markdown table")
     args = p.parse_args(argv)
     df = load_results(args.result_dir, args.prefix)
-    print(df.groupby(["model", "k"])[["acc", "map", "mauc"]].mean().round(3))
+    if args.markdown:
+        print(markdown_table(df))
+    else:
+        print(df.groupby(["model", "k"])[["acc", "map", "mauc"]].mean()
+              .round(3))
     rel = relative_to_baseline(df)
     if args.out and not rel.empty:
         os.makedirs(args.out, exist_ok=True)

@@ -16,41 +16,45 @@ from clearvae_tpu.train.factories import (
 
 def model_zoo64(n_class: int, trainer_kwargs: dict, seed: int,
                 lam_coef: float | None = None,
-                tc_temperature: float | None = None) -> dict:
+                tc_temperature: float | None = None,
+                in_channel: int = 3) -> dict:
     """The 7-model zoo on VAE64/SimpleCNN64; ``lam_coef`` adds the LAM-CNN
     entry (Camelyon17 only); ``tc_temperature`` overrides τ for CLEAR-TC
-    (the Camelyon17 notebook uses 0.1 there vs 0.3 elsewhere)."""
+    (the Camelyon17 notebook uses 0.1 there vs 0.3 elsewhere);
+    ``in_channel`` = 1 for grayscale 64×64 pipelines (CheXpert)."""
     common = dict(trainer_kwargs)
     hier = {"beta": common["beta"], "vae_lr": common["vae_lr"],
-            "z_dim": common["z_dim"], "vae_arch": "VAE64", "in_channel": 3,
-            "n_classes": n_class, "seed": seed}
+            "z_dim": common["z_dim"], "vae_arch": "VAE64",
+            "in_channel": in_channel, "n_classes": n_class, "seed": seed}
     tc_kwargs = dict(common)
     if tc_temperature is not None:
         tc_kwargs["temperature"] = tc_temperature
     zoo = {
         "baseline": (get_cnn_trainer,
                      {"n_class": n_class, "cnn_arch": "SimpleCNN64Classifier",
-                      "in_channel": 3, "seed": seed}),
+                      "in_channel": in_channel, "seed": seed}),
         "gvae": (get_hierarchical_vae_trainer, {**hier, "group_mode": "GVAE"}),
         "mlvae": (get_hierarchical_vae_trainer, {**hier, "group_mode": "MLVAE"}),
         "clear": (get_clearvae_trainer,
-                  {"ps": True, "vae_arch": "VAE64", "in_channel": 3,
+                  {"ps": True, "vae_arch": "VAE64", "in_channel": in_channel,
                    "seed": seed, **common}),
         "clear-tc": (get_cleartcvae_trainer,
                      {"la": 1, "factor_cls_lr": 1e-4, "vae_arch": "VAE64",
-                      "in_channel": 3, "seed": seed, **tc_kwargs}),
+                      "in_channel": in_channel, "seed": seed, **tc_kwargs}),
         "clear-mim (L1OutUB)": (get_clearmimvae_trainer,
                                 {"mi_estimator": "L1OutUB", "la": 3,
                                  "mi_estimator_lr": 2e-3, "vae_arch": "VAE64",
-                                 "in_channel": 3, "seed": seed, **common}),
+                                 "in_channel": in_channel, "seed": seed,
+                                 **common}),
         "clear-mim (CLUB-S)": (get_clearmimvae_trainer,
                                {"mi_estimator": "CLUBSample", "la": 3,
                                 "mi_estimator_lr": 2e-3, "vae_arch": "VAE64",
-                                "in_channel": 3, "seed": seed, **common}),
+                                "in_channel": in_channel, "seed": seed,
+                                **common}),
     }
     if lam_coef is not None:
         zoo["lam-cnn"] = (get_lamcnn_trainer,
                           {"n_class": n_class, "lam_coef": lam_coef,
-                           "cnn_arch": "LAMCNN64Classifier", "in_channel": 3,
-                           "seed": seed})
+                           "cnn_arch": "LAMCNN64Classifier",
+                           "in_channel": in_channel, "seed": seed})
     return zoo

@@ -56,7 +56,7 @@ def main(argv=None):
         results = run_model_zoo(models, train, valid, test, args.epochs,
                                 batch_size=args.batch_size, n_class=7,
                                 resume_path=fpath,
-                            epochs_per_scan=args.epochs_per_scan)
+                                epochs_per_scan=args.epochs_per_scan)
         save_results(results, fpath)
 
 

@@ -146,6 +146,20 @@ def test_run_model_zoo_resume(tmp_path):
     assert r2["baseline"] == json.loads(json.dumps(r1["baseline"]))
 
 
+def test_chexpert_runner_tiny(tmp_path):
+    """CheXpert downstream (new capability: the reference ships the dataset
+    class but no runner) end-to-end on tiny synthetic data."""
+    from clearvae_tpu.experiments import chexpert_downstream as CD
+
+    CD.main(["--epochs", "1", "--n_synthetic", "160", "--batch_size", "32",
+             "--k_max", "1", "--seed", "5", "--out", str(tmp_path)])
+    res = json.load(open(tmp_path / "chexpert-k1-5.json"))
+    assert set(res) == {"baseline", "gvae", "mlvae", "clear", "clear-tc",
+                        "clear-mim (L1OutUB)", "clear-mim (CLUB-S)"}
+    for r in res.values():
+        assert 0.0 <= r["acc"] <= 1.0
+
+
 def test_mig_expr_runner_tiny(tmp_path):
     """MIG/ELBO sweep end-to-end on tiny data: 8 models, CSV schema."""
     import pandas as pd

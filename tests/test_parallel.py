@@ -129,6 +129,38 @@ def test_scanned_epoch_on_mesh_matches_single_device():
     np.testing.assert_allclose(mse1, mse8, rtol=1e-3)
 
 
+def test_styled_epoch_on_mesh_matches_single_device():
+    """On-the-fly in-scan styling composes with the mesh too."""
+    from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.train.steps import (init_vae_state, make_clear_vae_step,
+                                          make_styled_epoch_fn)
+
+    imgs, labels = synthetic_mnist(64, seed=0)
+    rs2 = np.random.RandomState(0)
+    style_idx = rs2.randint(0, 6, 64).astype(np.int32)
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    step = make_clear_vae_step(model, tx, AnnealConfig(),
+                               ContrastiveConfig(alpha=100.0))
+    bi = jnp.asarray(np.arange(64).reshape(2, 32))
+    rng = jax.random.key(5)
+    args = (jnp.asarray(imgs, jnp.float32), jnp.asarray(labels),
+            jnp.asarray(style_idx), jnp.asarray(np.arange(64, dtype=np.int32)))
+
+    s1 = init_vae_state(model, tx, jax.random.key(1), 28, 1)
+    _, m1 = make_styled_epoch_fn(step.core, base_seed=3)(s1, *args, bi, rng)
+
+    mesh = make_mesh(8)
+    s8 = replicate_state(mesh, init_vae_state(model, tx, jax.random.key(1),
+                                              28, 1))
+    sharded = shard_batch(mesh, *args)
+    _, m8 = make_styled_epoch_fn(step.core, base_seed=3, mesh=mesh)(
+        s8, *sharded, bi, rng)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m8["loss"]),
+                               rtol=2e-4)
+
+
 def test_epochs_per_scan_fuses_blocks():
     """fit(epochs_per_scan=k) runs k epochs per program dispatch (nested
     scan) and still advances the step counter correctly, incl. on a mesh."""

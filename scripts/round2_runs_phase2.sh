@@ -1,7 +1,5 @@
 #!/usr/bin/env bash
 # Round-2 evidence campaign, phase 2 (after round2_runs.sh):
-# - re-train the CelebA clear-tc entries that NaN'd before the logit-space
-#   TC fix (entries pruned first; resume retrains only what's missing)
 # - CheXpert downstream at scale (new-capability evidence)
 # - CelebA MIG/ELBO beta sweep
 # - fused-loss A/B benchmark
@@ -20,18 +18,6 @@ run() {
   fi
 }
 
-python - <<'EOF'
-import json
-for k in (2, 3):
-    p = f"expr_output/celeba/classification/celeba-k{k}-42.json"
-    d = json.load(open(p))
-    if d.pop("clear-tc", None) is not None:
-        json.dump(d, open(p, "w"), indent=4)
-        print(f"pruned clear-tc from {p}")
-EOF
-
-run celeba_tc_redo -m clearvae_tpu.experiments.celeba_downstream \
-    --epochs 41 --n_synthetic 4096 --k_max 3 --seed 42
 run chexpert -m clearvae_tpu.experiments.chexpert_downstream \
     --epochs 41 --n_synthetic 4096 --k_max 3 --seed 42
 run mig_sweep_celeba -m clearvae_tpu.experiments.mig_expr_celeba \

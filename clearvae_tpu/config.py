@@ -56,9 +56,11 @@ class ContrastiveConfig:
     sim_fn: str = "cosine"  # cosine | l2 | modified_l2 | jeffrey | mahalanobis
     loss_name: str = "snn"  # snn | supcon_in | supcon_out
     ps: bool = True  # True: PS-SNN anti-contrastive on z_s; False: negated SNN
-    # Use the fused Pallas kernel (cosine/snn only). Measured on v5e: XLA's
-    # own fusion is ~10% faster at the reference size (B=128, z<=32), so the
-    # default is False; flip on for large-batch/large-z runs.
+    # Use the fused Pallas kernel (cosine/snn only). Measured on v5e
+    # (scripts/bench_fused_loss.py, scanned-epoch regime): parity with XLA
+    # at the reference size, ~10% slower inside the full train step at
+    # B>=512 — XLA overlaps the jnp latent loss with the conv backward,
+    # which a custom call cannot. Default stays False.
     fused: bool = False
 
 

@@ -3,10 +3,19 @@
 One TPU kernel computes, entirely in VMEM: row-normalization of mu, the
 [B, B] cosine similarity on the MXU, the masked positive/denominator
 logsumexps, per-row soft-nearest-neighbour losses, the finite-row mean —
-and, in the backward kernel, the hand-derived gradient (softmax difference
-→ (G + Gᵀ) @ mu_n → normalization projection). This fuses what the
-reference computes as a chain of torch ops over HBM-materialized [B, B]
-matrices (reference: code/src/losses.py:54-137).
+and the hand-derived gradient (softmax difference → (G + Gᵀ) @ mu_n →
+normalization projection). The CLEAR-latent variant emits the loss terms
+AND the unit-cotangent SNN grads from a single forward kernel (the masked
+softmaxes reuse the logsumexps' exp/sum work), so backward is just an
+elementwise XLA combine. This fuses what the reference computes as a chain
+of torch ops over HBM-materialized [B, B] matrices (reference:
+code/src/losses.py:54-137).
+
+Measured on v5e (scripts/bench_fused_loss.py): parity with XLA at the
+reference size in the scanned-epoch regime, ~10% slower at B≥512 — XLA
+overlaps the jnp latent loss with the conv backward, which a custom-call
+kernel cannot, so ``ContrastiveConfig.fused`` stays False by default and
+this kernel remains the explicit opt-in path (numbers in BASELINE.md).
 
 Semantics match :func:`clearvae_tpu.ops.losses.contrastive_loss` with
 ``sim_fn='cosine', loss_name='snn'`` (the configuration every reference
@@ -147,6 +156,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# The whole-array kernels hold a few [n, n] f32 intermediates in VMEM; at
+# n=1024 the backward pass needs ~19MB+, above Mosaic's 16MB default scoped
+# limit (v5e has 128MB VMEM). Raise the cap — it is a limit, not a
+# reservation, so small batches are unaffected.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _fused_snn_fwd(mu, label, temperature, ps):
     b, z = mu.shape
     mu_p, lbl, n, zp = _pad(mu, label)
@@ -158,6 +174,7 @@ def _fused_snn_fwd(mu, label, temperature, ps):
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(mu_p, lbl)[0, 0]
     return loss, (mu, label)
 
@@ -176,6 +193,7 @@ def _fused_snn_bwd(temperature, ps, res, g):
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(mu_p, lbl, g_arr)
     return dmu[:b, :z], None
 
@@ -192,47 +210,47 @@ _fused_snn.defvjp(_fused_snn_fwd, _fused_snn_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _snn_parts(mu, label, n, b, temperature, ps):
-    """Normalized rows, scaled sims, masks — shared by fwd/bwd."""
+def _snn_lossgrad(mu, label, n, b, temperature, ps):
+    """SNN loss AND its unit-cotangent gradient in one pass: the masked
+    softmaxes reuse the exp/sum work of the logsumexps, so emitting the
+    gradient here costs only the (G + Gᵀ) @ mu_n matmul — vs a separate
+    backward kernel re-doing the similarity matmul and both softmaxes."""
     r = jnp.sqrt(jnp.sum(mu * mu, axis=1, keepdims=True))
     r_c = jnp.maximum(r, _EPS)
     mu_n = mu / r_c
     s = jnp.dot(mu_n, mu_n.T, preferred_element_type=jnp.float32) / temperature
     valid, pos = _masks(label, n, b, ps)
-    return mu_n, r, r_c, s, valid, pos
+    neg = jnp.float32(-1e30)
 
+    def lse_softmax(mask):
+        sm = jnp.where(mask, s, neg)
+        m = jnp.maximum(jnp.max(sm, axis=1, keepdims=True), -1e29)
+        e = jnp.where(mask, jnp.exp(sm - m), 0.0)
+        ssum = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-37)
+        return jnp.log(ssum) + m, e / ssum
 
-def _snn_loss_from_parts(s, valid, pos, n, b):
-    lse_all, _ = _row_lse(s, valid)
-    lse_pos, _ = _row_lse(s, pos)
+    lse_all, p_all = lse_softmax(valid)
+    lse_pos, p_pos = lse_softmax(pos)
+
     has_pos = jnp.sum(pos.astype(jnp.float32), axis=1, keepdims=True) > 0
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     row_ok = has_pos & (rows < b)
     n_finite = jnp.maximum(jnp.sum(row_ok.astype(jnp.float32)), 1.0)
     loss = jnp.sum(jnp.where(row_ok, -lse_pos + lse_all, 0.0)) / n_finite
-    return loss, row_ok, n_finite
 
-
-def _snn_grad_from_parts(mu_n, r, r_c, s, valid, pos, row_ok, n_finite,
-                         temperature, g):
-    neg = jnp.float32(-1e30)
-
-    def softmax(mask):
-        sm = jnp.where(mask, s, neg)
-        m = jnp.maximum(jnp.max(sm, axis=1, keepdims=True), -1e29)
-        e = jnp.where(mask, jnp.exp(sm - m), 0.0)
-        return e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-37)
-
-    G = row_ok.astype(jnp.float32) * (softmax(valid) - softmax(pos)) \
-        / (temperature * n_finite)
+    G = row_ok.astype(jnp.float32) * (p_all - p_pos) / (temperature * n_finite)
     dmu_n = jnp.dot(G + G.T, mu_n, preferred_element_type=jnp.float32)
     inner = jnp.sum(dmu_n * mu_n, axis=1, keepdims=True)
     proj = jnp.where(r > _EPS, inner, 0.0)
-    return g * (dmu_n - proj * mu_n) / r_c
+    dmu = (dmu_n - proj * mu_n) / r_c
+    return loss, dmu
 
 
-def _clear_fwd_kernel(mu_c_ref, lv_c_ref, mu_s_ref, lv_s_ref, label_ref,
-                      out_ref, *, b: int, temperature: float, ps: bool):
+def _clear_fwdgrad_kernel(mu_c_ref, lv_c_ref, mu_s_ref, lv_s_ref, label_ref,
+                          out_ref, dsnn_c_ref, dsnn_s_ref, *, b: int,
+                          temperature: float, ps: bool):
+    """Loss terms + unit-cotangent SNN grads in ONE kernel (the KL grads
+    are trivial elementwise expressions left to the XLA bwd combiner)."""
     mu_c, lv_c = mu_c_ref[:], lv_c_ref[:]
     mu_s, lv_s = mu_s_ref[:], lv_s_ref[:]
     label = label_ref[:]
@@ -243,47 +261,15 @@ def _clear_fwd_kernel(mu_c_ref, lv_c_ref, mu_s_ref, lv_s_ref, label_ref,
     kl_c = -0.5 * jnp.sum(1 + lv_c - mu_c * mu_c - jnp.exp(lv_c)) / b
     kl_s = -0.5 * jnp.sum(1 + lv_s - mu_s * mu_s - jnp.exp(lv_s)) / b
 
-    _, _, _, s_c, valid_c, pos_c = _snn_parts(mu_c, label, n, b, temperature,
-                                              False)
-    c_loss, _, _ = _snn_loss_from_parts(s_c, valid_c, pos_c, n, b)
-    _, _, _, s_s, valid_s, pos_s = _snn_parts(mu_s, label, n, b, temperature,
-                                              ps)
-    s_loss, _, _ = _snn_loss_from_parts(s_s, valid_s, pos_s, n, b)
+    c_loss, dsnn_c = _snn_lossgrad(mu_c, label, n, b, temperature, False)
+    s_loss, dsnn_s = _snn_lossgrad(mu_s, label, n, b, temperature, ps)
 
     out_ref[0, 0] = kl_c
     out_ref[0, 1] = kl_s
     out_ref[0, 2] = c_loss
     out_ref[0, 3] = s_loss
-
-
-def _clear_bwd_kernel(mu_c_ref, lv_c_ref, mu_s_ref, lv_s_ref, label_ref,
-                      g_ref, dmu_c_ref, dlv_c_ref, dmu_s_ref, dlv_s_ref, *,
-                      b: int, temperature: float, ps: bool):
-    mu_c, lv_c = mu_c_ref[:], lv_c_ref[:]
-    mu_s, lv_s = mu_s_ref[:], lv_s_ref[:]
-    label = label_ref[:]
-    n = mu_c.shape[0]
-    g_klc, g_kls = g_ref[0, 0], g_ref[0, 1]
-    g_c, g_s = g_ref[0, 2], g_ref[0, 3]
-
-    # d kl/d mu = mu/b;  d kl/d logvar = -0.5 (1 - e^lv)/b  (0 on padding)
-    dmu_c = g_klc * mu_c / b
-    dlv_c_ref[:] = g_klc * (-0.5) * (1.0 - jnp.exp(lv_c)) / b
-    dmu_s = g_kls * mu_s / b
-    dlv_s_ref[:] = g_kls * (-0.5) * (1.0 - jnp.exp(lv_s)) / b
-
-    mu_n, r, r_c, s_c, valid_c, pos_c = _snn_parts(mu_c, label, n, b,
-                                                   temperature, False)
-    _, row_ok, n_fin = _snn_loss_from_parts(s_c, valid_c, pos_c, n, b)
-    dmu_c += _snn_grad_from_parts(mu_n, r, r_c, s_c, valid_c, pos_c, row_ok,
-                                  n_fin, temperature, g_c)
-    mu_n, r, r_c, s_s, valid_s, pos_s = _snn_parts(mu_s, label, n, b,
-                                                   temperature, ps)
-    _, row_ok, n_fin = _snn_loss_from_parts(s_s, valid_s, pos_s, n, b)
-    dmu_s += _snn_grad_from_parts(mu_n, r, r_c, s_s, valid_s, pos_s, row_ok,
-                                  n_fin, temperature, g_s)
-    dmu_c_ref[:] = dmu_c
-    dmu_s_ref[:] = dmu_s
+    dsnn_c_ref[:] = dsnn_c
+    dsnn_s_ref[:] = dsnn_s
 
 
 def _pad4(mu_c, lv_c, mu_s, lv_s, label):
@@ -305,37 +291,38 @@ def _fused_clear(mu_c, lv_c, mu_s, lv_s, label, temperature, ps):
 
 def _fused_clear_fwd(mu_c, lv_c, mu_s, lv_s, label, temperature, ps):
     args = _pad4(mu_c, lv_c, mu_s, lv_s, label)
-    b = mu_c.shape[0]
-    out = pl.pallas_call(
-        functools.partial(_clear_fwd_kernel, b=b,
+    b, z = mu_c.shape
+    n, zp = args[5], args[6]
+    out, dsnn_c, dsnn_s = pl.pallas_call(
+        functools.partial(_clear_fwdgrad_kernel, b=b,
                           temperature=float(temperature), ps=bool(ps)),
-        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=[jax.ShapeDtypeStruct((1, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((n, zp), jnp.float32),
+                   jax.ShapeDtypeStruct((n, zp), jnp.float32)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(*args[:5])
     terms = (out[0, 0], out[0, 1], out[0, 2], out[0, 3])
-    return terms, (mu_c, lv_c, mu_s, lv_s, label)
+    res = (mu_c, lv_c, mu_s, lv_s, dsnn_c[:b, :z], dsnn_s[:b, :z])
+    return terms, res
 
 
 def _fused_clear_bwd(temperature, ps, res, g):
-    mu_c, lv_c, mu_s, lv_s, label = res
-    b, z = mu_c.shape
-    mu_cp, lv_cp, mu_sp, lv_sp, lbl, n, zp = _pad4(mu_c, lv_c, mu_s, lv_s,
-                                                   label)
-    g_arr = jnp.stack(g).reshape(1, 4).astype(jnp.float32)
-    shapes = [jax.ShapeDtypeStruct((n, zp), jnp.float32)] * 4
-    dmu_c, dlv_c, dmu_s, dlv_s = pl.pallas_call(
-        functools.partial(_clear_bwd_kernel, b=b,
-                          temperature=float(temperature), ps=bool(ps)),
-        out_shape=shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        interpret=_interpret(),
-    )(mu_cp, lv_cp, mu_sp, lv_sp, lbl, g_arr)
-    return (dmu_c[:b, :z], dlv_c[:b, :z], dmu_s[:b, :z], dlv_s[:b, :z], None)
+    """Combine the kernel-computed unit-cotangent SNN grads with the
+    closed-form KL grads (elementwise; XLA fuses this into the surrounding
+    backward graph, so no second Pallas kernel is needed)."""
+    mu_c, lv_c, mu_s, lv_s, dsnn_c, dsnn_s = res
+    b = mu_c.shape[0]
+    g_klc, g_kls, g_c, g_s = g
+    dmu_c = g_klc * mu_c / b + g_c * dsnn_c
+    dlv_c = g_klc * (-0.5) * (1.0 - jnp.exp(lv_c)) / b
+    dmu_s = g_kls * mu_s / b + g_s * dsnn_s
+    dlv_s = g_kls * (-0.5) * (1.0 - jnp.exp(lv_s)) / b
+    return (dmu_c, dlv_c, dmu_s, dlv_s, None)
 
 
 _fused_clear.defvjp(_fused_clear_fwd, _fused_clear_bwd)

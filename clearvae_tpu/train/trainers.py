@@ -319,7 +319,8 @@ class CLEARVAETrainer(VAETrainerBase):
             alpha=hyperparameter["alpha"],
             temperature=hyperparameter["temperature"],
             sim_fn=sim_fn, ps=hyperparameter.get("ps", True),
-            loss_name=hyperparameter.get("loss_name", "snn"))
+            loss_name=hyperparameter.get("loss_name", "snn"),
+            fused=hyperparameter.get("fused", False))
         self.anneal_cfg, self.contr_cfg = anneal, contr
         self.train_step = S.make_clear_vae_step(model, self.tx, anneal, contr)
         self.eval_step = S.make_clear_vae_eval_step(model, contr)

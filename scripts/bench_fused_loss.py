@@ -11,6 +11,8 @@ Run on the real TPU (needs the chip free): python scripts/bench_fused_loss.py
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import jax
@@ -18,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from clearvae_tpu.utils.cache import enable_compilation_cache
+# runnable as `python scripts/bench_fused_loss.py` without installing the
+# package: scripts/ is sys.path[0], so add the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clearvae_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 
 def time_fn(fn, *args, iters=200):
@@ -92,6 +98,47 @@ def full_step_ab(b, z, size=28, in_ch=1):
     return out[False], out[True]
 
 
+K_SCAN = 50
+
+
+def full_step_scan_ab(b, z, size=28, in_ch=1):
+    """Like full_step_ab, but K_SCAN steps fused into ONE program via
+    lax.scan — removes the per-dispatch tunnel latency (~ms) that dominates
+    the eager numbers, i.e. this is the production (scanned-epoch) regime.
+    Returned µs are per step."""
+    import jax.lax as lax
+
+    from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
+    from clearvae_tpu.models.vae import VAE, VAE64
+    from clearvae_tpu.train.steps import init_vae_state, make_clear_vae_step
+
+    model = (VAE if size == 28 else VAE64)(total_z_dim=z, in_channel=in_ch)
+    tx = optax.adam(5e-4)
+    state = init_vae_state(model, tx, jax.random.key(0), size, in_ch)
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.rand(b, size, size, in_ch), jnp.float32)
+    lbl = jnp.asarray(rs.randint(0, 10, b))
+    rng = jax.random.key(2)
+
+    out = {}
+    for fused in (False, True):
+        step = make_clear_vae_step(model, tx, AnnealConfig(),
+                                   ContrastiveConfig(alpha=100.0, fused=fused))
+
+        @jax.jit
+        def run(st):
+            def body(st, _):
+                st, m = step.core(st, x, lbl, rng) if hasattr(step, "core") \
+                    else step(st, x, lbl, rng)
+                return st, m["loss"]
+
+            st, losses = lax.scan(body, st, None, length=K_SCAN)
+            return losses[-1]
+
+        out[fused] = time_fn(run, state, iters=4) / K_SCAN
+    return out[False], out[True]
+
+
 def main():
     enable_compilation_cache()
     print(f"backend: {jax.default_backend()}")
@@ -103,6 +150,10 @@ def main():
                            (128, 64, 64, 3)]:
         j, f = full_step_ab(b, z, size, ch)
         rows.append((f"full step {size}px", b, z, j, f))
+    for b, z, size, ch in [(128, 16, 28, 1), (512, 64, 28, 1),
+                           (128, 64, 64, 3)]:
+        j, f = full_step_scan_ab(b, z, size, ch)
+        rows.append((f"scanned step {size}px", b, z, j, f))
     print("| scope | B | z | XLA µs | fused µs | speedup |")
     print("|---|---|---|---|---|---|")
     for name, b, z, j, f in rows:

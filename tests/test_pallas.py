@@ -164,3 +164,22 @@ def test_pallas_style_kernel_matches_xla():
         else:
             expected = np.asarray(fn(imgs[i]))
         np.testing.assert_allclose(out[i], expected, atol=0.51, err_msg=name)
+
+
+def test_fused_flag_plumbs_through_trainer_hyperparameter():
+    """CLEARVAETrainer(hyperparameter={'fused': True}) must reach the
+    ContrastiveConfig (the public opt-in path for the Pallas kernel)."""
+    import optax
+    from clearvae_tpu.models.vae import VAE
+    from clearvae_tpu.train.trainers import CLEARVAETrainer
+
+    hp = {"temperature": 0.1, "alpha": 100.0, "beta": 0.125, "ps": True,
+          "loc": 0, "scale": 1, "fused": True}
+    t = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4),
+                        sim_fn="cosine", hyperparameter=hp)
+    assert t.contr_cfg.fused is True
+    t2 = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4),
+                         sim_fn="cosine",
+                         hyperparameter={k: v for k, v in hp.items()
+                                         if k != "fused"})
+    assert t2.contr_cfg.fused is False

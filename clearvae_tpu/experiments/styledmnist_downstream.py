@@ -64,6 +64,9 @@ def get_args(argv=None):
                    help="fuse this many epochs per XLA dispatch "
                         "(validation prints at block boundaries)")
     p.add_argument("--k_max", type=int, default=N_STYLES - 1)
+    p.add_argument("--k_min", type=int, default=1,
+                   help="start the k sweep here (e.g. --k_min 5 --k_max 5 "
+                        "runs only the headline k=5 point)")
     p.add_argument("--out", type=str,
                    default="./expr_output/styled-mnist/classification")
     return p.parse_args(argv)
@@ -141,7 +144,7 @@ def main(argv=None):
         "beta": 1 / 8, "vae_lr": 5e-4, "z_dim": 16,
         "alpha": args.alpha, "temperature": args.temperature,
     }
-    for k in range(1, args.k_max + 1):
+    for k in range(args.k_min, args.k_max + 1):
         experiment(args, k, seed, trainer_kwargs)
 
 

@@ -334,7 +334,7 @@ class HierarchicalVAETrainer(VAETrainerBase):
 
     def __init__(self, model, optimizer, hyperparameter: dict,
                  verbose_period: int = 5, seed: int = 0, mesh=None,
-                 mig_backend: str = "numpy", eval_evidence_acc: bool = False):
+                 mig_backend: str = "auto", eval_evidence_acc: bool = False):
         super().__init__(model, verbose_period, seed, mesh, mig_backend)
         self.tx = optimizer
         anneal = C.AnnealConfig(beta=hyperparameter["beta"],

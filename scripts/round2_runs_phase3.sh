@@ -4,6 +4,10 @@
 # was run in round 1), giving 3-seed spread at the reference's 41-epoch
 # 50k/10k scale. Results land next to the round-1 JSONs so analyze.py
 # aggregates all seeds together.
+#
+# COMPLETED in round 2 (run as k=5 first, then k=1..4, via --k_min/--k_max
+# so the headline point landed before the time budget could run out);
+# results committed under expr_output/styled-mnist/classification/.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p .runs

@@ -337,7 +337,14 @@ def fused_clear_latent_loss(mu_c: Array, logvar_c: Array, mu_s: Array,
     ``contrastive_loss(sim_fn='cosine', loss_name='snn')`` on both latent
     halves (the configuration of every reference experiment). The caller
     negates the style term when ``ps=False`` (reference trainer.py:463-472).
-    Custom VJP: the backward pass is one fused kernel too.
+
+    Custom VJP with a forward-emits-grads design: the forward kernel also
+    writes the unit-cotangent SNN gradients w.r.t. both mu halves, and the
+    backward pass is a cheap elementwise XLA combine of those with the
+    closed-form KL grads (see ``_fused_clear_bwd``). Consequence: every
+    call pays the (G+G^T)@mu gradient matmuls even if never differentiated —
+    a forward-only caller (e.g. a fused eval path) should use the loss-only
+    kernels (``fused_contrastive_loss``) instead.
     """
     return _fused_clear(mu_c, logvar_c, mu_s, logvar_s, label,
                         float(temperature), bool(ps))

@@ -58,9 +58,9 @@ class InferenceSession:
         path = directory_or_path
         if os.path.isdir(path) and not os.path.basename(path).startswith("step_"):
             path = latest_checkpoint(path)
-        size = 28 if type(model).__name__ == "VAE" else 64
         template = init_vae_state(model, tx or optax.adam(1e-3),
-                                  jax.random.key(0), size, model.in_channel)
+                                  jax.random.key(0), model.image_size,
+                                  model.in_channel)
         state = restore_checkpoint(path, template)
         return cls(model, state.params, state.batch_stats)
 

@@ -86,7 +86,7 @@ def _forward(model, params, batch_stats, x, rng, *, train: bool,
 
 def _contrastive(cc, mu, logvar, label, ps):
     """Route to the fused Pallas kernel (cosine/snn) or the jnp path."""
-    if getattr(cc, "fused", True):
+    if getattr(cc, "fused", False):
         from clearvae_tpu.ops.pallas.fused_loss import fused_contrastive_loss
 
         return fused_contrastive_loss(mu, logvar, label, sim_fn=cc.sim_fn,

@@ -1,10 +1,17 @@
-"""Benchmark harness: Styled-MNIST CLEAR-VAE training throughput.
+"""Benchmark harness: CLEAR-VAE family training throughput on TPU.
 
-Reference config (run_styledmnist_downstream_expr.py:231-238): z_dim=16,
-batch=128, beta=1/8, alpha=1e2, tau=0.1, Adam lr 5e-4, sim_fn=cosine.
+Flagship config (reference run_styledmnist_downstream_expr.py:231-238):
+Styled-MNIST CLEAR-VAE, z_dim=16, batch=128, beta=1/8, alpha=1e2, tau=0.1,
+Adam lr 5e-4, sim_fn=cosine.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": images/sec/chip, "unit": ..., "vs_baseline": ratio}
+  {"metric": ..., "value": images/sec/chip, "unit": ..., "vs_baseline": ratio,
+   "configs": {<name>: {images_per_sec_per_chip, mfu, ...}, ...}}
+
+The configs dict adds the rows VERDICT r2 item 4 asked for: VAE64 (z=64,
+batch 128, the CelebA/PACS/Camelyon17 pipeline config), CLEAR-TC and
+CLEAR-MIM dual-optimizer steps, bf16, and a non-parity "perf mode" point
+(bf16, batch 2048) showing throughput/MFU off the reference-parity batch.
 
 vs_baseline: ratio against the PyTorch-CPU *reference implementation* run in
 this same container (the reference publishes no numbers — BASELINE.md). The
@@ -26,80 +33,145 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 BATCH = 128
 Z_DIM = 16
-# steps per timing window: big enough that one window is ~1s of device time,
-# so the final block_until_ready roundtrip through the remote-TPU tunnel
-# (~100ms) amortizes away instead of dominating
-N_STEPS = 3072
+# steps per timing window are sized so one window is ~1s of device time —
+# the final block_until_ready roundtrip through the remote-TPU tunnel
+# (~100ms) then amortizes away instead of dominating
 N_IMAGES = 4096
-
 
 # TPU v5e (1 chip) peak: 197 TFLOP/s bf16 on the MXU (f32 matmuls decompose
 # into multiple bf16 passes, so the same peak is the roofline either way).
 V5E_PEAK_FLOPS = 197e12
 
 
-def clear_vae_train_flops_per_image(z_dim: int = Z_DIM, batch: int = BATCH,
-                                    size: int = 28, in_ch: int = 1) -> float:
-    """Analytic training FLOPs per image for the CLEAR-VAE step (28×28 VAE,
-    reference architecture vae.py:7-102): 2 FLOPs/MAC forward, backward ≈ 2×
-    forward (standard MFU accounting). XLA's compiled cost_analysis() cannot
-    be used here — TPU convolutions lower into fused custom calls whose FLOPs
-    it does not count (measured ~40× undercount), so the roofline number
-    comes from the layer math."""
-    chans = (in_ch, 32, 64, 128)
+def _conv_macs(size: int, chans, kernel: int) -> tuple[int, int, int]:
+    """(encoder MACs, decoder MACs, flat dim) for the mirrored conv stacks
+    (reference vae.py:15-46, 113-156): stride-2 convs in→chans, decoder
+    ConvTs mirroring them."""
+    enc = 0
     spatial = size
-    macs = 0
-    # encoder convs (3×3 stride 2) — MACs = out_spatial² · Cout · k² · Cin
     for cin, cout in zip(chans[:-1], chans[1:]):
         spatial = (spatial + 1) // 2
-        macs += spatial * spatial * cout * 9 * cin
+        enc += spatial * spatial * cout * kernel * kernel * cin
     flat = spatial * spatial * chans[-1]
-    macs += 4 * flat * (z_dim // 2)          # four latent heads
-    macs += z_dim * flat                     # decoder dense
-    # decoder convTs mirror the encoder (MACs = in_spatial² · Cin · k² · Cout)
+    dec = 0
     spatial_in = spatial
     for cin, cout in zip(reversed(chans[1:]), reversed(chans[:-1])):
-        macs += spatial_in * spatial_in * cin * 9 * cout
+        dec += spatial_in * spatial_in * cin * kernel * kernel * cout
         spatial_in *= 2
+    return enc, dec, flat
+
+
+def clear_vae_train_flops_per_image(z_dim: int = Z_DIM, batch: int = BATCH,
+                                    size: int = 28, in_ch: int = 1,
+                                    variant: str = "clear") -> float:
+    """Analytic training FLOPs per image for a CLEAR-family step: 2 FLOPs/MAC
+    forward, backward ≈ 2× forward (standard MFU accounting). XLA's compiled
+    cost_analysis() cannot be used here — TPU convolutions lower into fused
+    custom calls whose FLOPs it does not count (measured ~40× undercount), so
+    the roofline number comes from the layer math.
+
+    ``variant``: 'clear' = fwd+bwd (3× fwd). 'tc' adds the discriminator
+    phase's fresh VAE forward (steps.py make_clear_tc_step phase 2; the
+    factor classifier itself is O(z²), negligible). 'mim' adds one
+    encoder-only forward plus 5 inner estimator steps on tiny MLPs
+    (steps.py make_clear_mim_step phase 2)."""
+    if size >= 64:
+        chans = (in_ch, 32, 64, 128, 256, 512)
+        kernel = 4
+    else:
+        chans = (in_ch, 32, 64, 128)
+        kernel = 3
+    enc, dec, flat = _conv_macs(size, chans, kernel)
+    heads = 4 * flat * (z_dim // 2)          # four latent heads
+    dec_dense = z_dim * flat                 # decoder dense
+    fwd = enc + heads + dec_dense + dec
     # contrastive [B,B] sim matrices on mu_c and mu_s (cosine: one matmul each)
-    macs += 2 * batch * (z_dim // 2)         # per image: B·z/2 MACs ×2 halves
-    return 3 * 2 * macs                      # fwd 2·MACs, train ≈ 3× fwd
+    fwd += 2 * batch * (z_dim // 2)          # per image: B·z/2 MACs ×2 halves
+    macs = 3 * fwd                           # fwd + bwd(≈2×fwd)
+    if variant == "tc":
+        z = z_dim
+        macs += fwd + 3 * 2 * (z * z + z) * 2   # fresh fwd + disc step (2×[B,2z]→1)
+    elif variant == "mim":
+        zh, hidden = z_dim // 2, z_dim
+        est = 2 * (zh * hidden + hidden * zh)   # p_mu + p_logvar MLPs
+        macs += (enc + heads) + 5 * 3 * est     # one encode + 5 estimator steps
+    return 2 * macs
 
 
-def measure_tpu(dtype=None):
-    """Returns (images/sec/chip, flops/image from XLA cost analysis)."""
+def _make_state_and_step(kind: str, dtype, z_dim: int, size: int,
+                         in_ch: int):
     import jax
-    import jax.numpy as jnp
     import optax
 
-    from clearvae_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
-    from clearvae_tpu.data.mnist import synthetic_mnist
-    from clearvae_tpu.data.styled import make_styled_mnist
-    from clearvae_tpu.models.vae import VAE
-    from clearvae_tpu.train.steps import (init_vae_state, make_clear_vae_step,
-                                          make_multi_epoch_fn)
-
-    imgs, labels = synthetic_mnist(N_IMAGES, seed=0)
-    ds = make_styled_mnist(imgs, labels, seed=0)
-    styled = ds.materialize()  # on-device styling, cached host-side
+    from clearvae_tpu.config import (AnnealConfig, ContrastiveConfig,
+                                     MIMConfig, TCConfig)
+    from clearvae_tpu.models.vae import VAE, VAE64
+    from clearvae_tpu.train import steps as S
 
     kw = {"dtype": dtype} if dtype is not None else {}
-    model = VAE(total_z_dim=Z_DIM, **kw)
+    cls = VAE64 if size >= 64 else VAE
+    model = cls(total_z_dim=z_dim, in_channel=in_ch, **kw)
     tx = optax.adam(5e-4)
-    state = init_vae_state(model, tx, jax.random.key(0), 28, 1)
-    step = make_clear_vae_step(model, tx, AnnealConfig(beta=1 / 8),
-                               ContrastiveConfig(alpha=1e2, temperature=0.1,
-                                                 ps=True))
+    anneal = AnnealConfig(beta=1 / 8)
+    contr = ContrastiveConfig(alpha=1e2, temperature=0.1, ps=True)
+    rng = jax.random.key(0)
+    if kind == "clear":
+        state = S.init_vae_state(model, tx, rng, size, in_ch)
+        step = S.make_clear_vae_step(model, tx, anneal, contr)
+    elif kind == "tc":
+        from clearvae_tpu.models.factor import FactorCls
 
-    # the production fast path: HBM-resident data, a whole BLOCK of epochs
-    # fused into one scanned XLA program (one dispatch through the tunnel);
-    # with multiple chips the batch shards over a 1-D data mesh (GSPMD) —
-    # the same make_multi_epoch_fn(mesh=...) program trainers run with
-    # fit(epochs_per_scan=...)
+        factor = FactorCls(z_dim=z_dim)
+        ftx = optax.adam(1e-4)
+        state = S.init_vae_state(model, tx, rng, size, in_ch,
+                                 aux_model=factor, aux_tx=ftx,
+                                 aux_shapes=[(2, z_dim)])
+        step = S.make_clear_tc_step(model, factor, tx, ftx, anneal, contr,
+                                    TCConfig(la=1.0))
+    elif kind == "mim":
+        from clearvae_tpu.models.mi_estimators import CLUBSample
+
+        zh = z_dim // 2
+        est = CLUBSample(x_dim=zh, y_dim=zh, hidden_size=z_dim)
+        mtx = optax.adam(2e-3)
+        state = S.init_vae_state(model, tx, rng, size, in_ch,
+                                 aux_model=est, aux_tx=mtx,
+                                 aux_shapes=[(2, zh), (2, zh)])
+        step = S.make_clear_mim_step(model, est, tx, mtx, anneal, contr,
+                                     MIMConfig(la=3.0))
+    else:
+        raise ValueError(kind)
+    return model, state, step
+
+
+def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
+                   z_dim: int = Z_DIM, size: int = 28, in_ch: int = 1,
+                   target_window_images: int = 400_000, n_images: int = N_IMAGES):
+    """Returns median images/sec/chip over 3 timing windows for one config.
+
+    The production fast path: HBM-resident data, a whole block of epochs
+    fused into one scanned XLA program per dispatch (the same
+    make_multi_epoch_fn program trainers run with fit(epochs_per_scan=...));
+    with multiple chips the batch shards over a 1-D data mesh (GSPMD)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clearvae_tpu.train.steps import make_multi_epoch_fn
+
+    rs = np.random.RandomState(0)
+    if size == 28 and in_ch == 1:
+        from clearvae_tpu.data.mnist import synthetic_mnist
+        from clearvae_tpu.data.styled import make_styled_mnist
+
+        imgs, labels = synthetic_mnist(n_images, seed=0)
+        ds = make_styled_mnist(imgs, labels, seed=0)
+        data = np.asarray(ds.materialize())[..., None]
+    else:
+        data = rs.rand(n_images, size, size, in_ch).astype(np.float32)
+        labels = rs.randint(0, 10, n_images)
+
+    model, state, step = _make_state_and_step(kind, dtype, z_dim, size, in_ch)
+
     mesh = None
     if jax.device_count() > 1:
         from clearvae_tpu.parallel.mesh import (make_mesh, replicate_state,
@@ -107,41 +179,20 @@ def measure_tpu(dtype=None):
 
         mesh = make_mesh()
     epoch_fn = make_multi_epoch_fn(step.core, mesh=mesh)
-    data = jnp.asarray(styled[..., None])
+    data = jnp.asarray(data)
     lbl = jnp.asarray(labels)
     if mesh is not None:
         state = replicate_state(mesh, state)
         data, lbl = shard_batch(mesh, data, lbl)
-    n_batches = N_IMAGES // BATCH
-    epochs_per_block = max(1, N_STEPS // n_batches)
-    rs = np.random.RandomState(0)
+    n_batches = n_images // batch
+    epochs_per_block = max(1, target_window_images // (n_batches * batch))
 
     def one_block(state, seed):
-        bi = np.stack([rs.permutation(N_IMAGES)[: n_batches * BATCH]
-                       .reshape(n_batches, BATCH)
+        bi = np.stack([rs.permutation(n_images)[: n_batches * batch]
+                       .reshape(n_batches, batch)
                        for _ in range(epochs_per_block)])
         return epoch_fn(state, data, lbl, jnp.asarray(bi),
                         jax.random.key(seed))
-
-    # FLOPs per image from the compiled program's own cost analysis
-    # (cross-check only — TPU conv fusions under-report; see
-    # clear_vae_train_flops_per_image)
-    bi0 = jnp.asarray(np.stack(
-        [rs.permutation(N_IMAGES)[: n_batches * BATCH].reshape(n_batches,
-                                                               BATCH)
-         for _ in range(epochs_per_block)]))
-    flops_per_image = float("nan")
-    try:
-        compiled = epoch_fn.lower(state, data, lbl, bi0,
-                                  jax.random.key(0)).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops_per_image = (float(ca["flops"])
-                           / (epochs_per_block * n_batches * BATCH))
-    except Exception as e:
-        print(f"# cost_analysis unavailable: {type(e).__name__}: {e}",
-              file=sys.stderr)
 
     state, m = one_block(state, 0)  # compile + warmup
     jax.block_until_ready(m["loss"])
@@ -153,9 +204,9 @@ def measure_tpu(dtype=None):
         t0 = time.perf_counter()
         state, m = one_block(state, 1 + w)
         jax.block_until_ready(m["loss"])
-        rates.append(epochs_per_block * n_batches * BATCH
+        rates.append(epochs_per_block * n_batches * batch
                      / (time.perf_counter() - t0))
-    return float(np.median(rates)), flops_per_image
+    return float(np.median(rates))
 
 
 def measure_torch_baseline(max_seconds: float = 120.0) -> float:
@@ -185,7 +236,6 @@ def measure_torch_baseline(max_seconds: float = 120.0) -> float:
                         "ps": True, "loc": 0, "scale": 1},
         verbose_period=10**9, device=torch.device("cpu"))
 
-    # warm-up one epoch pass of 2 batches
     import itertools
 
     def run_batches(k):
@@ -217,35 +267,66 @@ def get_torch_baseline() -> float:
         return float("nan")
 
 
-def main():
-    tpu_ips, flops_per_image = measure_tpu()
-    bf16_ips = float("nan")
-    try:
-        import jax.numpy as jnp
+# name → (measure_config kwargs, flops kwargs)
+EXTRA_CONFIGS = {
+    "clear_28_bf16": (dict(dtype="bf16"), dict()),
+    "vae64_clear": (dict(z_dim=64, size=64, in_ch=3, n_images=2048,
+                         target_window_images=60_000),
+                    dict(z_dim=64, size=64, in_ch=3)),
+    "clear_tc_28": (dict(kind="tc", target_window_images=300_000),
+                    dict(variant="tc")),
+    "clear_mim_28": (dict(kind="mim", target_window_images=250_000),
+                     dict(variant="mim")),
+    "perf_mode_b2048_bf16": (dict(dtype="bf16", batch=2048, n_images=8192,
+                                  target_window_images=1_500_000),
+                             dict(batch=2048)),
+}
 
-        bf16_ips, _ = measure_tpu(dtype=jnp.bfloat16)
-    except Exception as e:
-        print(f"# bf16 measurement failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+
+def main():
+    import jax.numpy as jnp
+
+    from clearvae_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    def _dtype(v):
+        return jnp.bfloat16 if v == "bf16" else None
+
+    flag_ips = measure_config()
+    flag_flops = clear_vae_train_flops_per_image()
+    configs = {"clear_28_f32": {
+        "images_per_sec_per_chip": round(flag_ips, 1),
+        "train_flops_per_image_analytic": round(flag_flops),
+        "mfu": round(flag_ips * flag_flops / V5E_PEAK_FLOPS, 4),
+    }}
+    for name, (mkw, fkw) in EXTRA_CONFIGS.items():
+        try:
+            kw = dict(mkw)
+            kw["dtype"] = _dtype(kw.get("dtype"))
+            ips = measure_config(**kw)
+            fl = clear_vae_train_flops_per_image(
+                **{**fkw, "batch": kw.get("batch", BATCH)})
+            configs[name] = {
+                "images_per_sec_per_chip": round(ips, 1),
+                "train_flops_per_image_analytic": round(fl),
+                "mfu": round(ips * fl / V5E_PEAK_FLOPS, 4),
+            }
+        except Exception as e:
+            print(f"# config {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            configs[name] = None
+
     base_ips = get_torch_baseline()
-    vs = tpu_ips / base_ips if np.isfinite(base_ips) else None
-    flops = clear_vae_train_flops_per_image()
-    mfu = tpu_ips * flops / V5E_PEAK_FLOPS
-    bf16_mfu = (bf16_ips * flops / V5E_PEAK_FLOPS
-                if np.isfinite(bf16_ips) else None)
+    vs = flag_ips / base_ips if np.isfinite(base_ips) else None
     print(json.dumps({
         "metric": "styledmnist_clearvae_train_images_per_sec_per_chip",
-        "value": round(tpu_ips, 1),
+        "value": round(flag_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-        "train_flops_per_image_analytic": round(flops),
-        "xla_cost_analysis_flops_per_image": (
-            round(flops_per_image) if np.isfinite(flops_per_image) else None),
-        "mfu": round(mfu, 4),
-        "bf16_images_per_sec_per_chip": (round(bf16_ips, 1)
-                                         if np.isfinite(bf16_ips) else None),
-        "bf16_mfu": round(bf16_mfu, 4) if bf16_mfu is not None else None,
+        "mfu": configs["clear_28_f32"]["mfu"],
         "peak_flops_assumed": V5E_PEAK_FLOPS,
+        "configs": configs,
     }))
 
 

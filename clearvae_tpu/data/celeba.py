@@ -74,21 +74,14 @@ def load_celeba(root: str, image_size: int = 64,
 
 
 def synthetic_celeba(n: int, seed: int = 0, image_size: int = 64) -> ArrayDataset:
-    """Class/style-informative synthetic stand-in: content = one of 4 spatial
-    patterns, style = one of 4 hue tints."""
-    rng = np.random.RandomState(seed)
-    labels = rng.randint(0, 4, n)
-    styles = rng.randint(0, 4, n)
-    yy, xx = np.mgrid[0:image_size, 0:image_size] / image_size
-    patterns = np.stack([
-        np.sin(6 * np.pi * xx), np.sin(6 * np.pi * yy),
-        np.sin(6 * np.pi * (xx + yy)), np.sin(6 * np.pi * (xx - yy)),
-    ]) * 0.5 + 0.5
-    tints = np.asarray([[1, .4, .4], [.4, 1, .4], [.4, .4, 1], [1, 1, .4]])
-    imgs = np.empty((n, image_size, image_size, 3), np.float32)
-    for i in range(n):
-        base = patterns[labels[i]] + 0.15 * rng.rand(image_size, image_size)
-        imgs[i] = np.clip(base[..., None] * tints[styles[i]], 0, 1)
+    """Discriminative synthetic stand-in (VERDICT r2 item 1): content = 4
+    procedural (male, smiling) face-geometry classes with overlapping shape
+    noise, style = 4 drastic appearance domains (photo/sketch/negative/art)
+    standing in for the hair-color axis — hard enough that held-out-style
+    accuracy separates the model zoo instead of saturating at 1.0."""
+    from clearvae_tpu.data.synth64 import synthetic_celeba64
+
+    imgs, labels, styles = synthetic_celeba64(n, seed, image_size)
     return ArrayDataset(imgs, labels, styles)
 
 

@@ -37,26 +37,14 @@ def load_pacs(path: str, image_size: int = 64,
 
 
 def synthetic_pacs(n: int, seed: int = 0, image_size: int = 64) -> ArrayDataset:
-    """7 content patterns × 4 domain-like renderings."""
-    rng = np.random.RandomState(seed)
-    labels = rng.randint(0, 7, n)
-    styles = rng.randint(0, 4, n)
-    yy, xx = np.mgrid[0:image_size, 0:image_size] / image_size
-    freqs = np.arange(1, 8) * 2.0
-    imgs = np.empty((n, image_size, image_size, 3), np.float32)
-    for i in range(n):
-        base = 0.5 + 0.5 * np.sin(freqs[labels[i]] * np.pi * (xx + 0.3 * yy))
-        s = styles[i]
-        if s == 0:      # "art": hue shift
-            img = np.stack([base, base**2, 1 - base], -1)
-        elif s == 1:    # "cartoon": quantized
-            img = np.repeat(np.round(base * 3)[..., None] / 3, 3, -1)
-        elif s == 2:    # "photo": noisy
-            img = np.repeat((base + 0.1 * rng.rand(*base.shape))[..., None], 3, -1)
-        else:           # "sketch": edges
-            gx = np.abs(np.gradient(base)[1])
-            img = 1 - np.repeat((gx / (gx.max() + 1e-8))[..., None], 3, -1)
-        imgs[i] = np.clip(img, 0, 1)
+    """Discriminative synthetic stand-in (VERDICT r2 item 1): content = 7
+    jittered object silhouettes (four of them fine-grained quadrupeds),
+    style = the 4 PACS domains as drastic renderings (art / cartoon /
+    photo / sketch) so held-out-domain accuracy separates the model zoo
+    instead of quantizing into ties."""
+    from clearvae_tpu.data.synth64 import synthetic_pacs64
+
+    imgs, labels, styles = synthetic_pacs64(n, seed, image_size)
     return ArrayDataset(imgs, labels, styles)
 
 

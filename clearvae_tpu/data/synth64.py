@@ -1,0 +1,437 @@
+"""Procedural 64×64 stand-in renderers for the CelebA / PACS / Camelyon17
+OOD protocols (no network in this environment — reference
+run_celeba_downstream_expr.py:225-234, run_pacs_downstream_expr.py:248-268,
+run_camelyon17_downstream_expr.ipynb use the real archives).
+
+Design goal (VERDICT r2 item 1): the round-2 stand-ins saturated (CelebA
+k=3 → 1.000 for every model) or quantized into ties (PACS) because content
+was a trivially separable global pattern and styles were mild tints. These
+generators make the benchmark *discriminative* the same way Styled-MNIST is:
+
+- **content** = fine-grained procedural shapes that need real spatial
+  features (jittered pose/scale/rotation, per-vertex noise, similar classes
+  differing in proportions — quadrupeds, face geometry);
+- **style** = drastic appearance transforms of the whole image (photo /
+  edge-sketch / posterized-cartoon / hue-warped paint / stain matrices),
+  mirroring the MNIST-C corruption severity that makes held-out-style
+  generalization hard, so a style-entangled representation fails OOD and
+  the zoo separates.
+
+Everything is deterministic in ``seed`` (numpy RandomState; PIL rasterizer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# rasterizer helpers (PIL; 2× supersampled for smooth small shapes)
+# ---------------------------------------------------------------------------
+
+_SS = 2  # supersample factor
+
+
+def _canvas(size: int):
+    from PIL import Image, ImageDraw
+
+    img = Image.new("F", (size * _SS, size * _SS), 0.0)
+    return img, ImageDraw.Draw(img)
+
+
+def _finish(img, size: int) -> np.ndarray:
+    from PIL import Image
+
+    g = np.asarray(img.resize((size, size), Image.BILINEAR), np.float32)
+    return np.clip(g, 0.0, 1.0)
+
+
+def _xy(pts, jitter, rng):
+    """Scale unit-square points to canvas coords with per-vertex noise."""
+    out = []
+    for x, y in pts:
+        out.append(((x + rng.uniform(-jitter, jitter)) * _SS,
+                    (y + rng.uniform(-jitter, jitter)) * _SS))
+    return out
+
+
+def _place(rng, size: int, base: float = 1.0):
+    """Random pose: (scale, angle_deg, cx, cy) in canvas pixels."""
+    s = base * size * rng.uniform(0.62, 0.95)
+    ang = rng.uniform(-22, 22)
+    cx = size / 2 + rng.uniform(-0.08, 0.08) * size
+    cy = size / 2 + rng.uniform(-0.08, 0.08) * size
+    return s, ang, cx, cy
+
+
+def _tf(pts, s, ang, cx, cy):
+    """Map unit-square-centered points through scale/rotation/translation."""
+    a = np.deg2rad(ang)
+    R = np.asarray([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+    p = (np.asarray(pts, np.float64) - 0.5) * s
+    p = p @ R.T
+    p[:, 0] += cx
+    p[:, 1] += cy
+    return [tuple(q * _SS) for q in p]
+
+
+# ---------------------------------------------------------------------------
+# drastic style transforms: grayscale content [H,W] in [0,1] → RGB [H,W,3]
+# ---------------------------------------------------------------------------
+
+
+def _sobel_mag(g: np.ndarray) -> np.ndarray:
+    gp = np.pad(g, 1, mode="edge")
+    gx = (gp[1:-1, 2:] - gp[1:-1, :-2]) / 2
+    gy = (gp[2:, 1:-1] - gp[:-2, 1:-1]) / 2
+    m = np.hypot(gx, gy)
+    return m / (m.max() + 1e-8)
+
+
+def style_photo(g, rng, tint=(0.9, 0.8, 0.7)):
+    """'Photo': shaded, tinted content on a differently-tinted textured
+    background + sensor noise (object/background contrast preserved so the
+    shape is learnable, unlike a raw threshold against the noise floor)."""
+    mask = (g > 0.04)[..., None]
+    obj = (0.25 + 0.7 * g)[..., None] * np.asarray(tint)
+    bg = ((0.5 + 0.1 * rng.rand(*g.shape))[..., None]
+          * np.asarray((0.55, 0.65, 0.5)))
+    img = np.where(mask, obj, bg) + 0.05 * rng.randn(*g.shape, 1)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def style_sketch(g, rng):
+    """'Sketch': dark pencil strokes (edges) on near-white paper."""
+    e = _sobel_mag(g)
+    strokes = np.clip(e * rng.uniform(2.0, 3.0), 0, 1)
+    paper = 0.93 + 0.05 * rng.rand(*g.shape)
+    img = (paper - strokes * rng.uniform(0.75, 0.9))[..., None].repeat(3, -1)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def style_cartoon(g, rng):
+    """'Cartoon': flat 3-level fill, thick black outline, saturated palette."""
+    q = np.round(g * 2) / 2
+    e = _sobel_mag(g) > 0.25
+    pal = np.asarray([[0.95, 0.85, 0.3], [0.2, 0.6, 0.9], [0.9, 0.3, 0.3]])
+    c = pal[rng.randint(0, 3)]
+    img = 0.15 + 0.8 * q[..., None] * c
+    img[e] = 0.0
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def style_art(g, rng):
+    """'Art painting': intensity mapped through a nonlinear 2-color ramp with
+    a spatial hue wash (destroys absolute intensities, keeps shape)."""
+    yy, xx = np.mgrid[0:g.shape[0], 0:g.shape[1]] / g.shape[0]
+    wash = 0.5 + 0.5 * np.sin(2 * np.pi * (xx * rng.uniform(0.5, 1.5)
+                                           + yy * rng.uniform(-1, 1)))
+    t = np.clip(g * 1.2 + 0.15 * wash, 0, 1)
+    c1 = np.asarray([rng.uniform(0.5, 1.0), rng.uniform(0.0, 0.4),
+                     rng.uniform(0.3, 0.9)])
+    c2 = 1.0 - c1
+    img = t[..., None] * c1 + (1 - t)[..., None] * c2
+    img += 0.04 * rng.randn(*g.shape, 1)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def style_negative(g, rng):
+    """Inverted, posterized, high-contrast monochrome."""
+    q = np.round((1.0 - g) * 3) / 3
+    img = (0.1 + 0.85 * q)[..., None].repeat(3, -1)
+    img[..., rng.randint(0, 3)] *= rng.uniform(0.55, 0.75)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def style_stripes(g, rng):
+    """Content behind a dark occluding stripe raster + channel swap."""
+    img = (0.2 + 0.7 * g)[..., None].repeat(3, -1)
+    period = rng.randint(6, 9)
+    phase = rng.randint(0, period)
+    rows = (np.arange(g.shape[0]) + phase) % period < period // 2
+    img[rows] *= 0.12
+    perm = rng.permutation(3)
+    return np.clip(img[..., perm], 0, 1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# content renderers (grayscale shape images, heavy pose/shape jitter)
+# ---------------------------------------------------------------------------
+
+
+def _ellipse_pts(cx, cy, rx, ry, n=28):
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return np.stack([cx + rx * np.cos(t), cy + ry * np.sin(t)], -1)
+
+
+def _bezier(p0, p1, p2, n=12):
+    t = np.linspace(0, 1, n)[:, None]
+    p0, p1, p2 = (np.asarray(p, np.float64) for p in (p0, p1, p2))
+    return (1 - t) ** 2 * p0 + 2 * t * (1 - t) * p1 + t ** 2 * p2
+
+
+def render_face(rng, size: int, male: int, smiling: int) -> np.ndarray:
+    """(male, smiling) face geometry: jaw width + brow thickness encode
+    'male', mouth curvature encodes 'smiling' — both with overlapping noise
+    so the 4 classes are fine-grained (reference content labels:
+    data_utils.py:111-117)."""
+    img, draw = _canvas(size)
+    s, ang, cx, cy = _place(rng, size, 0.95)
+    w = max(1, int(round(s * _SS * 0.02)))
+
+    def P(pts):
+        return _tf(pts, s, ang, cx, cy)
+
+    rx = 0.245 + 0.075 * male + rng.uniform(-0.035, 0.035)
+    ry = 0.36 + rng.uniform(-0.03, 0.03)
+    draw.polygon(P(_ellipse_pts(0.5, 0.54, rx, ry)), fill=0.55)
+    # hair cap (top third of the head)
+    hr = _ellipse_pts(0.5, 0.30, rx * 1.04, 0.14 + rng.uniform(-0.02, 0.02))
+    draw.polygon(P(hr[hr[:, 1] <= 0.33 + 0.1]), fill=0.85)
+    # eyes
+    for sx in (-1, 1):
+        ex = 0.5 + sx * (0.105 + rng.uniform(-0.012, 0.012))
+        ey = 0.47 + rng.uniform(-0.015, 0.015)
+        draw.polygon(P(_ellipse_pts(ex, ey, 0.028, 0.02, 12)), fill=1.0)
+        # eyebrow: thicker for male (with noise overlap)
+        bw = (0.012 + 0.014 * male + rng.uniform(-0.007, 0.007))
+        by = ey - 0.055 + rng.uniform(-0.01, 0.01)
+        draw.line(P([(ex - 0.05, by), (ex + 0.05, by)]),
+                  fill=0.95, width=max(1, int(round(bw * s * _SS))))
+    # nose
+    draw.line(P([(0.5, 0.5), (0.49, 0.6)]), fill=0.8, width=w)
+    # mouth: quadratic arc, curvature sign = smiling (noisy magnitude)
+    curve = (0.07 if smiling else -0.05) + rng.uniform(-0.02, 0.02)
+    my = 0.7 + rng.uniform(-0.015, 0.015)
+    mw = 0.1 + 0.03 * male + rng.uniform(-0.015, 0.015)
+    pts = _bezier((0.5 - mw, my), (0.5, my + curve), (0.5 + mw, my))
+    draw.line(P([tuple(p) for p in pts]), fill=0.95, width=w + _SS)
+    return _finish(img, size)
+
+
+def _legs(draw, P, body_y, xs, length, width, fill=0.7):
+    for x in xs:
+        draw.line(P([(x, body_y), (x + 0.02, body_y + length)]),
+                  fill=fill, width=width)
+
+
+def render_pacs_object(rng, size: int, cls: int) -> np.ndarray:
+    """7 PACS classes {0:dog 1:elephant 2:giraffe 3:guitar 4:horse 5:house
+    6:person} as jittered silhouette compositions; the four quadrupeds
+    differ only in proportions (fine-grained)."""
+    img, draw = _canvas(size)
+    s, ang, cx, cy = _place(rng, size)
+    w = max(1, int(round(s * _SS * 0.03)))
+    j = rng.uniform
+
+    def P(pts):
+        return _tf(pts, s, ang, cx, cy)
+
+    if cls == 5:  # house
+        draw.polygon(P([(0.27 + j(-.03, .03), 0.45), (0.73 + j(-.03, .03), 0.45),
+                        (0.73, 0.85), (0.27, 0.85)]), fill=0.6)
+        draw.polygon(P([(0.2, 0.46), (0.8, 0.46),
+                        (0.5 + j(-.05, .05), 0.16 + j(-.04, .04))]), fill=0.85)
+        draw.polygon(P([(0.44, 0.62), (0.56, 0.62), (0.56, 0.85),
+                        (0.44, 0.85)]), fill=0.25)
+        wx = 0.33 + j(-.02, .02)
+        draw.polygon(P([(wx, 0.52), (wx + 0.1, 0.52), (wx + 0.1, 0.6),
+                        (wx, 0.6)]), fill=0.95)
+    elif cls == 6:  # person
+        draw.polygon(P(_ellipse_pts(0.5, 0.17 + j(-.02, .02), 0.085, 0.085)),
+                     fill=0.9)
+        draw.polygon(P([(0.43, 0.27), (0.57, 0.27), (0.56, 0.6), (0.44, 0.6)]),
+                     fill=0.6)
+        for sx in (-1, 1):
+            draw.line(P([(0.5, 0.32), (0.5 + sx * (0.16 + j(-.03, .03)),
+                                       0.45 + j(-.05, .05))]), fill=0.7, width=w)
+            draw.line(P([(0.5 + sx * 0.04, 0.6),
+                         (0.5 + sx * (0.08 + j(-.02, .02)), 0.9)]),
+                      fill=0.7, width=w)
+    elif cls == 3:  # guitar
+        draw.polygon(P(_ellipse_pts(0.5, 0.68 + j(-.02, .02),
+                                    0.17 + j(-.02, .02), 0.15)), fill=0.65)
+        draw.polygon(P(_ellipse_pts(0.5, 0.5, 0.12, 0.1)), fill=0.65)
+        draw.polygon(P(_ellipse_pts(0.5, 0.63, 0.05, 0.05, 16)), fill=0.15)
+        draw.line(P([(0.5, 0.45), (0.5 + j(-.02, .02), 0.08)]),
+                  fill=0.8, width=w + _SS)
+        draw.polygon(P([(0.46, 0.05), (0.54, 0.05), (0.54, 0.12),
+                        (0.46, 0.12)]), fill=0.9)
+    else:  # quadrupeds: 0 dog, 1 elephant, 2 giraffe, 4 horse
+        if cls == 0:    # dog: small body, short legs, tail up, snout head
+            bx, by, brx, bry, leg, ny = 0.5, 0.6, 0.17, 0.085, 0.18, 0.52
+            hx, hy, hr = 0.72, 0.54, 0.07
+        elif cls == 1:  # elephant: big body, thick legs, trunk
+            bx, by, brx, bry, leg, ny = 0.45, 0.5, 0.25, 0.16, 0.25, 0.45
+            hx, hy, hr = 0.72, 0.4, 0.1
+        elif cls == 2:  # giraffe: small body, LONG neck + legs
+            bx, by, brx, bry, leg, ny = 0.42, 0.58, 0.16, 0.09, 0.3, 0.52
+            hx, hy, hr = 0.72, 0.12, 0.05
+        else:           # horse: medium body, long legs, medium neck
+            bx, by, brx, bry, leg, ny = 0.48, 0.5, 0.2, 0.1, 0.28, 0.45
+            hx, hy, hr = 0.7, 0.26, 0.06
+        brx += j(-.02, .02); bry += j(-.012, .012); leg += j(-.025, .025)
+        hx += j(-.02, .02); hy += j(-.02, .02)
+        draw.polygon(P(_ellipse_pts(bx, by, brx, bry)), fill=0.7)
+        lw = w + (_SS if cls == 1 else 0)
+        _legs(draw, P, by + bry * 0.6,
+              [bx - brx * 0.7, bx - brx * 0.25, bx + brx * 0.25, bx + brx * 0.7],
+              leg, lw)
+        draw.line(P([(bx + brx * 0.8, ny), (hx, hy)]), fill=0.7,
+                  width=lw + _SS)  # neck
+        draw.polygon(P(_ellipse_pts(hx, hy, hr * 1.4, hr)), fill=0.8)  # head
+        if cls == 0:    # tail up
+            draw.line(P([(bx - brx, by - 0.02), (bx - brx - 0.08,
+                                                 by - 0.12 + j(-.03, .03))]),
+                      fill=0.7, width=w)
+        if cls == 1:    # trunk + ear
+            tr = _bezier((hx + hr, hy), (hx + hr + 0.08, hy + 0.12),
+                         (hx + hr + 0.02 + j(-.03, .03), hy + 0.28))
+            draw.line(P([tuple(p) for p in tr]), fill=0.8, width=lw)
+            draw.polygon(P(_ellipse_pts(hx - hr, hy, 0.06, 0.08, 16)), fill=0.9)
+        if cls == 2:    # spots
+            for _ in range(6):
+                sx_, sy_ = bx + j(-brx, brx) * 0.8, by + j(-bry, bry) * 0.7
+                draw.polygon(P(_ellipse_pts(sx_, sy_, 0.02, 0.02, 8)), fill=0.95)
+        if cls == 4:    # tail down + mane dots
+            draw.line(P([(bx - brx, by), (bx - brx - 0.05,
+                                          by + 0.15 + j(-.03, .03))]),
+                      fill=0.7, width=w)
+    return _finish(img, size)
+
+
+def render_tissue(rng, size: int, tumor: int) -> np.ndarray:
+    """Histology-like nuclei map: background speckle everywhere; tumor adds
+    2-4 dense clusters of larger nuclei (the class signal is local texture
+    density, not a global statistic)."""
+    img, draw = _canvas(size)
+    n_bg = rng.randint(55, 75)
+    for _ in range(n_bg):
+        x, y = rng.rand(2) * size
+        r = rng.uniform(0.8, 1.6) * _SS
+        draw.ellipse([x * _SS - r, y * _SS - r, x * _SS + r, y * _SS + r],
+                     fill=rng.uniform(0.35, 0.55))
+    if tumor:
+        for _ in range(rng.randint(2, 5)):
+            cx_, cy_ = rng.rand(2) * (size * 0.7) + size * 0.15
+            spread = rng.uniform(4, 7)
+            for _ in range(rng.randint(14, 22)):
+                x = cx_ + rng.randn() * spread
+                y = cy_ + rng.randn() * spread
+                r = rng.uniform(1.4, 2.4) * _SS
+                draw.ellipse([x * _SS - r, y * _SS - r,
+                              x * _SS + r, y * _SS + r],
+                             fill=rng.uniform(0.6, 0.9))
+    else:
+        # matched global density: extra *scattered* large nuclei so mean
+        # intensity alone cannot separate the classes
+        for _ in range(rng.randint(30, 50)):
+            x, y = rng.rand(2) * size
+            r = rng.uniform(1.4, 2.4) * _SS
+            draw.ellipse([x * _SS - r, y * _SS - r, x * _SS + r, y * _SS + r],
+                         fill=rng.uniform(0.6, 0.9))
+    return _finish(img, size)
+
+
+def style_stain(g, rng, hue, dark, blur_px):
+    """Hospital-specific H&E-like staining: nuclei map → stain color over a
+    tissue-pink background, with per-hospital hue matrix, overall darkness
+    and optical blur (scanner differences)."""
+    if blur_px > 0:
+        k = blur_px
+        gp = np.pad(g, k, mode="edge")
+        acc = np.zeros_like(g)
+        cnt = 0
+        for dy in range(-k, k + 1):
+            for dx in range(-k, k + 1):
+                acc += gp[k + dy:k + dy + g.shape[0],
+                          k + dx:k + dx + g.shape[1]]
+                cnt += 1
+        g = acc / cnt
+    bg = np.asarray(hue["bg"], np.float64)
+    fg = np.asarray(hue["fg"], np.float64)
+    a = np.clip(g * rng.uniform(1.0, 1.3), 0, 1)[..., None]
+    img = (1 - a) * bg + a * fg
+    img *= dark * rng.uniform(0.94, 1.06)
+    img += 0.03 * rng.randn(*g.shape, 1)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+# per-hospital stain appearance (strongly separated on purpose: the OOD
+# axis must dominate raw-pixel statistics like the real Camelyon17 centers)
+HOSPITAL_STAINS = [
+    {"hue": {"bg": (0.93, 0.80, 0.86), "fg": (0.45, 0.15, 0.45)},
+     "dark": 1.0, "blur": 0},
+    {"hue": {"bg": (0.85, 0.70, 0.80), "fg": (0.30, 0.10, 0.35)},
+     "dark": 0.75, "blur": 0},
+    {"hue": {"bg": (0.95, 0.88, 0.80), "fg": (0.55, 0.30, 0.25)},
+     "dark": 1.0, "blur": 1},
+    {"hue": {"bg": (0.80, 0.85, 0.92), "fg": (0.15, 0.25, 0.50)},
+     "dark": 0.9, "blur": 0},
+    {"hue": {"bg": (0.90, 0.90, 0.90), "fg": (0.20, 0.20, 0.22)},
+     "dark": 1.15, "blur": 2},
+]
+
+
+# ---------------------------------------------------------------------------
+# dataset assemblers
+# ---------------------------------------------------------------------------
+
+# CelebA stand-in styles (hair-color protocol stand-ins rendered as drastic
+# appearance domains, indexed like the reference's 4 hair colors)
+def _celeba_style(idx, g, rng):
+    if idx == 0:
+        return style_photo(g, rng, tint=(0.85, 0.75, 0.65))
+    if idx == 1:
+        return style_sketch(g, rng)
+    if idx == 2:
+        return style_negative(g, rng)
+    return style_art(g, rng)
+
+
+def _pacs_style(idx, g, rng):
+    # DOMAIN_CODE order: 0 art_painting, 1 cartoon, 2 photo, 3 sketch
+    if idx == 0:
+        return style_art(g, rng)
+    if idx == 1:
+        return style_cartoon(g, rng)
+    if idx == 2:
+        return style_photo(g, rng, tint=(0.8, 0.85, 0.75))
+    return style_sketch(g, rng)
+
+
+def synthetic_celeba64(n: int, seed: int, image_size: int = 64):
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, 4, n)    # (male, smiling) pairs, reference coding
+    styles = rng.randint(0, 4, n)
+    imgs = np.empty((n, image_size, image_size, 3), np.float32)
+    for i in range(n):
+        # ATTR_TO_GENDERSMILE_LABEL: 0=(m,s) 1=(m,ns) 2=(f,s) 3=(f,ns)
+        male = 1 - labels[i] // 2
+        smiling = 1 - labels[i] % 2
+        g = render_face(rng, image_size, male, smiling)
+        imgs[i] = _celeba_style(int(styles[i]), g, rng)
+    return imgs, labels.astype(np.int64), styles.astype(np.int64)
+
+
+def synthetic_pacs64(n: int, seed: int, image_size: int = 64):
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, 7, n)
+    styles = rng.randint(0, 4, n)
+    imgs = np.empty((n, image_size, image_size, 3), np.float32)
+    for i in range(n):
+        g = render_pacs_object(rng, image_size, int(labels[i]))
+        imgs[i] = _pacs_style(int(styles[i]), g, rng)
+    return imgs, labels.astype(np.int64), styles.astype(np.int64)
+
+
+def synthetic_camelyon64(n: int, seed: int, image_size: int = 64):
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, 2, n)
+    styles = rng.randint(0, 5, n)
+    imgs = np.empty((n, image_size, image_size, 3), np.float32)
+    for i in range(n):
+        g = render_tissue(rng, image_size, int(labels[i]))
+        st = HOSPITAL_STAINS[int(styles[i])]
+        imgs[i] = style_stain(g, rng, st["hue"], st["dark"], st["blur"])
+    return imgs, labels.astype(np.int64), styles.astype(np.int64)
+

@@ -20,7 +20,8 @@ from clearvae_tpu.data.camelyon17 import (
     kcamelyon_train_test_split,
 )
 from clearvae_tpu.data.common import train_valid_split_array
-from clearvae_tpu.experiments.common import experiment_helper, save_results
+from clearvae_tpu.experiments.common import (experiment_helper, filter_models,
+                                             save_results)
 from clearvae_tpu.experiments.downstream64 import model_zoo64
 from clearvae_tpu.train.trainers import SimpleCNNTrainer
 
@@ -37,6 +38,8 @@ def get_args(argv=None):
     p.add_argument("--n_synthetic", type=int, default=2048)
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--k", type=int, default=1)
+    p.add_argument("--models", type=str, nargs="*", default=None,
+                   help="run only these zoo entries (prefix match)")
     p.add_argument("--out", type=str,
                    default="./expr_output/camelyon17/classification")
     return p.parse_args(argv)
@@ -54,14 +57,18 @@ def main(argv=None):
     print(f"Experiment: k={args.k}, seed={seed}")
     train_full, test, _ = kcamelyon_train_test_split(data, args.k, seed)
     train, valid = train_valid_split_array(train_full, 0.85, seed)
-    models = model_zoo64(2, trainer_kwargs, seed, lam_coef=0.001,
-                         tc_temperature=0.1)
+    models = filter_models(
+        model_zoo64(2, trainer_kwargs, seed, lam_coef=0.001,
+                    tc_temperature=0.1), args.models)
 
-    # incremental persistence like the notebook (cell 9): reload + overwrite
+    # incremental persistence like the notebook (cell 9): reload existing
+    # results; finished models are skipped so a crashed run resumes cheaply
     os.makedirs(args.out, exist_ok=True)
     fpath = f"{args.out}/camelyon17-k{args.k}-{seed}.json"
     results = json.load(open(fpath)) if os.path.exists(fpath) else {}
     for name, (factory, params) in models.items():
+        if name in results:
+            continue
         print(f"\nTraining {name}:")
         trainer = factory(**params)
         if isinstance(trainer, SimpleCNNTrainer):

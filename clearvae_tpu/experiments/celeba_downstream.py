@@ -14,7 +14,8 @@ import numpy as np
 
 from clearvae_tpu.data.celeba import get_celeba, kceleba_train_test_split
 from clearvae_tpu.data.common import train_valid_split_array
-from clearvae_tpu.experiments.common import run_model_zoo, save_results
+from clearvae_tpu.experiments.common import (filter_models,
+                                             run_model_zoo, save_results)
 from clearvae_tpu.experiments.downstream64 import model_zoo64
 
 
@@ -32,6 +33,8 @@ def get_args(argv=None):
     p.add_argument("--n_synthetic", type=int, default=2048)
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--k_max", type=int, default=3)
+    p.add_argument("--models", type=str, nargs="*", default=None,
+                   help="run only these zoo entries (prefix match)")
     p.add_argument("--out", type=str,
                    default="./expr_output/celeba/classification")
     return p.parse_args(argv)
@@ -51,6 +54,7 @@ def main(argv=None):
         train_full, test, _ = kceleba_train_test_split(celeba, k, seed)
         train, valid = train_valid_split_array(train_full, 0.85, seed)
         models = model_zoo64(4, trainer_kwargs, seed)
+        models = filter_models(models, args.models)
         fpath = f"{args.out}/celeba-k{k}-{seed}.json"
         results = run_model_zoo(models, train, valid, test, args.epochs,
                                 batch_size=args.batch_size, n_class=4,

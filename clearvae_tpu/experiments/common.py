@@ -13,7 +13,7 @@ from clearvae_tpu.train.trainers import DownstreamMLPTrainer, SimpleCNNTrainer
 def experiment_helper(train_ds, valid_ds, test_ds, vae_trainer, epochs: int,
                       batch_size: int = 128, n_class: int = 10,
                       probe_lr: float = 3e-4, probe_epochs: int | None = None,
-                      epochs_per_scan: int = 1):
+                      epochs_per_scan: int = 1, style_on_device: bool = False):
     """Train VAE → freeze → train MLP probe on mu_c → test metrics
     (reference experiment_helper, run_styledmnist_downstream_expr.py:92-127).
 
@@ -22,7 +22,8 @@ def experiment_helper(train_ds, valid_ds, test_ds, vae_trainer, epochs: int,
     ``epochs_per_scan`` > 1 fuses epoch blocks into single program dispatches
     (validation/verbose then fire at block boundaries)."""
     vae_trainer.fit(epochs, train_ds, valid_ds, batch_size=batch_size,
-                    epochs_per_scan=epochs_per_scan)
+                    epochs_per_scan=epochs_per_scan,
+                    style_on_device=style_on_device)
     probe = DownstreamMLPTrainer(vae_trainer, n_class=n_class, lr=probe_lr)
     probe.fit(probe_epochs or epochs, train_ds, valid_ds,
               batch_size=batch_size)
@@ -34,7 +35,8 @@ def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
                   batch_size: int = 128, n_class: int = 10,
                   probe_epochs: int | None = None,
                   resume_path: str | None = None,
-                  epochs_per_scan: int = 1) -> dict:
+                  epochs_per_scan: int = 1,
+                  style_on_device: bool = False) -> dict:
     """Train every (factory, params) entry and collect the reference's result
     schema: {model: {acc, pr: {overall, stratified}, roc: {...}}}
     (reference run_styledmnist_downstream_expr.py:190-216).
@@ -54,7 +56,8 @@ def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
         trainer = trainer_func(**params)
         if isinstance(trainer, SimpleCNNTrainer):
             trainer.fit(epochs, train_ds, valid_ds, batch_size=batch_size,
-                        epochs_per_scan=epochs_per_scan)
+                        epochs_per_scan=epochs_per_scan,
+                        style_on_device=style_on_device)
             (aupr, auroc), acc = trainer.evaluate(test_ds,
                                                   batch_size=batch_size)
         else:
@@ -62,7 +65,8 @@ def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
                 train_ds, valid_ds, test_ds, trainer, epochs,
                 batch_size=batch_size, n_class=n_class,
                 probe_epochs=probe_epochs,
-                epochs_per_scan=epochs_per_scan)
+                epochs_per_scan=epochs_per_scan,
+                style_on_device=style_on_device)
         results[model_name] = {
             "acc": round(float(acc), 3),
             "pr": {"overall": round(float(np.mean(list(aupr.values()))), 3),
@@ -73,6 +77,23 @@ def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
         if resume_path:
             save_results(results, resume_path)
     return results
+
+
+def filter_models(models: dict, names) -> dict:
+    """Subset a model zoo by exact or prefix name match (the runners'
+    ``--models`` flag; e.g. ``--models baseline clear-mim`` keeps the
+    baseline and both MIM variants). ``names`` falsy → unchanged."""
+    if not names:
+        return models
+    keep: set = set()
+    for n in names:
+        exact = [k for k in models if k == n]
+        matched = exact or [k for k in models if k.startswith(n)]
+        if not matched:
+            raise KeyError(f"unknown model selector {n!r}; "
+                           f"available: {sorted(models)}")
+        keep.update(matched)
+    return {k: v for k, v in models.items() if k in keep}
 
 
 def save_results(results: dict, fpath: str):

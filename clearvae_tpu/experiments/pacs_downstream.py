@@ -15,7 +15,8 @@ import numpy as np
 
 from clearvae_tpu.data.common import train_valid_split_array
 from clearvae_tpu.data.pacs import get_pacs, kpacs_train_test_split
-from clearvae_tpu.experiments.common import run_model_zoo, save_results
+from clearvae_tpu.experiments.common import (filter_models,
+                                             run_model_zoo, save_results)
 from clearvae_tpu.experiments.downstream64 import model_zoo64
 
 
@@ -33,6 +34,8 @@ def get_args(argv=None):
     p.add_argument("--n_synthetic", type=int, default=2048)
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--k_max", type=int, default=3)
+    p.add_argument("--models", type=str, nargs="*", default=None,
+                   help="run only these zoo entries (prefix match)")
     p.add_argument("--out", type=str,
                    default="./expr_output/pacs/classification")
     return p.parse_args(argv)
@@ -52,6 +55,7 @@ def main(argv=None):
         train_full, test, _ = kpacs_train_test_split(pacs, k, seed)
         train, valid = train_valid_split_array(train_full, 0.85, seed)
         models = model_zoo64(7, trainer_kwargs, seed)
+        models = filter_models(models, args.models)
         fpath = f"{args.out}/pacs-k{k}-{seed}.json"
         results = run_model_zoo(models, train, valid, test, args.epochs,
                                 batch_size=args.batch_size, n_class=7,

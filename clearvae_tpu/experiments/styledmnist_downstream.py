@@ -32,7 +32,8 @@ from clearvae_tpu.data.styled import (
     make_k_styled_mnist,
     train_valid_split,
 )
-from clearvae_tpu.experiments.common import run_model_zoo, save_results
+from clearvae_tpu.experiments.common import (filter_models,
+                                             run_model_zoo, save_results)
 from clearvae_tpu.ops.corruptions import EXPERIMENT_STYLES
 from clearvae_tpu.train.factories import (
     get_clearvae_trainer,
@@ -67,6 +68,12 @@ def get_args(argv=None):
     p.add_argument("--k_min", type=int, default=1,
                    help="start the k sweep here (e.g. --k_min 5 --k_max 5 "
                         "runs only the headline k=5 point)")
+    p.add_argument("--style_on_device", action="store_true",
+                   help="corrupt each batch on the fly inside the scanned "
+                        "epoch program instead of materializing the styled "
+                        "dataset (same numerics; no styled copy resident)")
+    p.add_argument("--models", type=str, nargs="*", default=None,
+                   help="run only these zoo entries (prefix match)")
     p.add_argument("--out", type=str,
                    default="./expr_output/styled-mnist/classification")
     return p.parse_args(argv)
@@ -125,12 +132,13 @@ def experiment(args, k: int, seed: int, trainer_kwargs: dict) -> dict:
     print(f"Experiment: k={k}, seed={seed}")
     _, train, valid, test = get_data_splits(args.data_root_path, k, seed,
                                             args.n_train, args.n_test)
-    models = model_zoo(trainer_kwargs, seed)
+    models = filter_models(model_zoo(trainer_kwargs, seed), args.models)
     fpath = f"{args.out}/styledmnist-k{k}-{seed}.json"
     results = run_model_zoo(models, train, valid, test, args.epochs,
                             batch_size=args.batch_size, n_class=10,
                             resume_path=fpath,
-                            epochs_per_scan=args.epochs_per_scan)
+                            epochs_per_scan=args.epochs_per_scan,
+                            style_on_device=args.style_on_device)
     save_results(results, fpath)
     return results
 

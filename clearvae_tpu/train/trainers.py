@@ -88,7 +88,8 @@ class TrainerCore:
 
     def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
             use_scan: bool | None = None, checkpoint_dir: str | None = None,
-            checkpoint_every: int = 10, logger=None, epochs_per_scan: int = 1):
+            checkpoint_every: int = 10, logger=None, epochs_per_scan: int = 1,
+            style_on_device: bool = False):
         """Train. ``use_scan`` (default on) fuses every epoch into one
         donated XLA program via lax.scan over HBM-resident data — the
         TPU-native fast path. Under a mesh the data is sample-sharded over
@@ -104,7 +105,15 @@ class TrainerCore:
         With ``checkpoint_dir`` the TrainState is saved every
         ``checkpoint_every`` epochs and at the end; with ``logger``
         (utils.logging.MetricLogger) per-epoch metrics and images/sec stream
-        to JSONL."""
+        to JSONL.
+
+        ``style_on_device=True`` (StyledDataset only) skips materializing the
+        styled float32 copy entirely: each batch is corrupted ON THE FLY
+        inside the scanned epoch program, keyed by (dataset seed, absolute
+        sample id) — numerically identical to the materialized path (pinned
+        by tests/test_parallel.py) while only the raw images stay
+        HBM-resident. One epoch per dispatch on this path
+        (``epochs_per_scan`` is ignored)."""
         import time as _time
         if self.state is None:
             self.state = self._init_state()
@@ -112,25 +121,48 @@ class TrainerCore:
             self.state = replicate_state(self.mesh, self.state)
         if use_scan is None:
             use_scan = hasattr(self.train_step, "core")
-        epochs_per_scan = max(1, int(epochs_per_scan)) if use_scan else 1
+        styled_path = (style_on_device and use_scan
+                       and hasattr(train_ds, "materialize"))
+        if style_on_device and not styled_path:
+            raise ValueError("style_on_device requires the scanned path and "
+                             "a StyledDataset (raw images + style_idx)")
+        epochs_per_scan = (max(1, int(epochs_per_scan))
+                           if use_scan and not styled_path else 1)
         if use_scan:
             multi = epochs_per_scan > 1
             if not isinstance(self._epoch_fn, dict):
                 self._epoch_fn = {}
-            if multi not in self._epoch_fn:
-                make = S.make_multi_epoch_fn if multi else S.make_epoch_fn
-                self._epoch_fn[multi] = make(self.train_step.core,
-                                             mesh=self.mesh)
+            if styled_path:
+                fkey = ("styled", train_ds.styles, train_ds.seed)
+                if fkey not in self._epoch_fn:
+                    self._epoch_fn[fkey] = S.make_styled_epoch_fn(
+                        self.train_step.core, styles=train_ds.styles,
+                        base_seed=train_ds.seed, mesh=self.mesh)
+            else:
+                fkey = multi
+                if fkey not in self._epoch_fn:
+                    make = S.make_multi_epoch_fn if multi else S.make_epoch_fn
+                    self._epoch_fn[fkey] = make(self.train_step.core,
+                                                mesh=self.mesh)
 
         if use_scan:
-            if hasattr(train_ds, "materialize"):  # StyledDataset: [N, H, W]
+            style_args = ()
+            if styled_path:  # raw 0..255 images; styling happens in-program
+                data = jnp.asarray(train_ds.images)
+                style_args = (jnp.asarray(train_ds.style_idx),
+                              jnp.asarray(train_ds.sample_ids))
+            elif hasattr(train_ds, "materialize"):  # StyledDataset: [N, H, W]
                 data = jnp.asarray(train_ds.materialize()[..., None])
             else:  # ArrayDataset: already [N, H, W, C] in [0, 1]
                 data = jnp.asarray(train_ds.images)
             labels = jnp.asarray(train_ds.labels)
             n = len(train_ds)
             if self.mesh is not None and n % self.mesh.size == 0:
-                data, labels = shard_batch(self.mesh, data, labels)
+                if styled_path:
+                    data, labels, *style_args = shard_batch(
+                        self.mesh, data, labels, *style_args)
+                else:
+                    data, labels = shard_batch(self.mesh, data, labels)
             if n < batch_size:  # tiny split: shrink instead of dropping all
                 batch_size = n
             n_batches = n // batch_size
@@ -151,8 +183,9 @@ class TrainerCore:
                         np.stack([_perm(epoch + e) for e in range(block)]))
                 else:
                     batch_idx = jnp.asarray(_perm(epoch))
-                self.state, ms = self._epoch_fn[multi](
-                    self.state, data, labels, batch_idx, self._next_rng())
+                self.state, ms = self._epoch_fn[fkey](
+                    self.state, data, labels, *style_args, batch_idx,
+                    self._next_rng())
                 self._post_train_epoch(ms)
                 last = {k: v[-1] for k, v in ms.items()}
             else:

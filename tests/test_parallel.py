@@ -261,3 +261,67 @@ def test_dual_optimizer_dp_matches_single_device(kind):
         np.testing.assert_allclose(float(jnp.ravel(m1[k])[-1]),
                                    float(jnp.ravel(m8[k])[-1]),
                                    rtol=2e-4, err_msg=k)
+
+
+def test_fit_style_on_device_matches_materialized():
+    """fit(style_on_device=True) — the first-class on-the-fly styling path —
+    reproduces the materialized path's training numerics: identical corruption
+    keys/batch permutations/step rngs, so per-batch losses agree to float
+    fusion tolerance and params stay within the Adam drift bound (in-scan
+    styling compiles into a different XLA program, so bitwise equality is not
+    expected — same bound the mesh-parity tests use)."""
+    from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.data.styled import make_styled_mnist
+    from clearvae_tpu.train.factories import get_clearvae_trainer
+    from clearvae_tpu.train.steps import (init_vae_state, make_clear_vae_step,
+                                          make_epoch_fn, make_styled_epoch_fn)
+
+    imgs, labels = synthetic_mnist(96, seed=11)
+    kw = dict(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16, alpha=100.0,
+              temperature=0.1, seed=12)
+
+    # loss parity of one epoch, same state/rng, low level
+    ds0 = make_styled_mnist(imgs, labels, seed=11)
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    step = make_clear_vae_step(model, tx, AnnealConfig(beta=1 / 8),
+                               ContrastiveConfig(alpha=100.0, temperature=0.1))
+    bi = jnp.asarray(np.arange(96).reshape(3, 32))
+    rng = jax.random.key(7)
+    s_a = init_vae_state(model, tx, jax.random.key(2), 28, 1)
+    _, m_mat = make_epoch_fn(step.core)(
+        s_a, jnp.asarray(ds0.materialize()[..., None]),
+        jnp.asarray(labels), bi, rng)
+    s_b = init_vae_state(model, tx, jax.random.key(2), 28, 1)
+    _, m_otf = make_styled_epoch_fn(step.core, base_seed=11)(
+        s_b, jnp.asarray(imgs, jnp.float32), jnp.asarray(labels),
+        jnp.asarray(ds0.style_idx), jnp.asarray(ds0.sample_ids), bi, rng)
+    np.testing.assert_allclose(np.asarray(m_mat["loss"]),
+                               np.asarray(m_otf["loss"]), rtol=2e-4)
+
+    ds_a = make_styled_mnist(imgs, labels, seed=11)
+    t_mat = get_clearvae_trainer(**kw)
+    t_mat.fit(2, ds_a, batch_size=32)
+
+    ds_b = make_styled_mnist(imgs, labels, seed=11)  # fresh, never materialized
+    t_otf = get_clearvae_trainer(**kw)
+    t_otf.fit(2, ds_b, batch_size=32, style_on_device=True)
+    assert ds_b._styled_cache is None, "style_on_device must not materialize"
+
+    # 6 Adam steps: sign-like updates bound drift by ~steps*lr*2
+    for a, b in zip(jax.tree.leaves(t_mat.state.params),
+                    jax.tree.leaves(t_otf.state.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 6 * 5e-4 * 2, np.abs(a - b).max()
+
+    # ArrayDataset (no raw images + style ids) must reject the flag
+    from clearvae_tpu.data.celeba import synthetic_celeba
+
+    arr = synthetic_celeba(8, seed=0)
+    t_bad = get_clearvae_trainer(**kw)
+    try:
+        t_bad.fit(1, arr, batch_size=8, style_on_device=True)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

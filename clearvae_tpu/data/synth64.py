@@ -100,45 +100,56 @@ def style_photo(g, rng, tint=(0.9, 0.8, 0.7)):
 
 
 def style_sketch(g, rng):
-    """'Sketch': dark pencil strokes (edges) on near-white paper."""
+    """'Sketch': bright strokes (edges) on a near-black ground — polarity
+    matches the other styles (like MNIST-C canny_edges: white edges on
+    black), which is what makes cross-style content transfer *possible*
+    while remaining a drastic appearance shift. A paper-polarity sketch
+    (dark-on-white) collapses every model to 0.0 OOD accuracy — measured,
+    see BASELINE.md round-3 calibration."""
     e = _sobel_mag(g)
     strokes = np.clip(e * rng.uniform(2.0, 3.0), 0, 1)
-    paper = 0.93 + 0.05 * rng.rand(*g.shape)
-    img = (paper - strokes * rng.uniform(0.75, 0.9))[..., None].repeat(3, -1)
+    ground = 0.04 + 0.04 * rng.rand(*g.shape)
+    img = (ground + strokes * rng.uniform(0.75, 0.9))[..., None].repeat(3, -1)
+    img[..., rng.randint(0, 3)] *= rng.uniform(0.7, 0.95)
     return np.clip(img, 0, 1).astype(np.float32)
 
 
 def style_cartoon(g, rng):
-    """'Cartoon': flat 3-level fill, thick black outline, saturated palette."""
+    """'Cartoon': flat 3-level fill, black outline, saturated palette
+    (content stays brighter than the dark ground)."""
     q = np.round(g * 2) / 2
     e = _sobel_mag(g) > 0.25
     pal = np.asarray([[0.95, 0.85, 0.3], [0.2, 0.6, 0.9], [0.9, 0.3, 0.3]])
     c = pal[rng.randint(0, 3)]
-    img = 0.15 + 0.8 * q[..., None] * c
+    img = 0.12 + 0.85 * q[..., None] * c
     img[e] = 0.0
     return np.clip(img, 0, 1).astype(np.float32)
 
 
 def style_art(g, rng):
-    """'Art painting': intensity mapped through a nonlinear 2-color ramp with
-    a spatial hue wash (destroys absolute intensities, keeps shape)."""
+    """'Art painting': intensity mapped through a hue ramp with a spatial
+    wash — drastic hue statistics, but content stays the *brighter* ramp end
+    (luminance polarity consistent with the other styles)."""
     yy, xx = np.mgrid[0:g.shape[0], 0:g.shape[1]] / g.shape[0]
     wash = 0.5 + 0.5 * np.sin(2 * np.pi * (xx * rng.uniform(0.5, 1.5)
                                            + yy * rng.uniform(-1, 1)))
     t = np.clip(g * 1.2 + 0.15 * wash, 0, 1)
-    c1 = np.asarray([rng.uniform(0.5, 1.0), rng.uniform(0.0, 0.4),
-                     rng.uniform(0.3, 0.9)])
-    c2 = 1.0 - c1
+    c1 = np.asarray([rng.uniform(0.7, 1.0), rng.uniform(0.4, 0.8),
+                     rng.uniform(0.5, 1.0)])[rng.permutation(3)]  # bright hue
+    c2 = np.asarray([rng.uniform(0.0, 0.25)] * 3) + rng.uniform(
+        0, 0.15, 3)                                               # dark hue
     img = t[..., None] * c1 + (1 - t)[..., None] * c2
     img += 0.04 * rng.randn(*g.shape, 1)
     return np.clip(img, 0, 1).astype(np.float32)
 
 
-def style_negative(g, rng):
-    """Inverted, posterized, high-contrast monochrome."""
-    q = np.round((1.0 - g) * 3) / 3
-    img = (0.1 + 0.85 * q)[..., None].repeat(3, -1)
-    img[..., rng.randint(0, 3)] *= rng.uniform(0.55, 0.75)
+def style_posterize(g, rng):
+    """Posterized high-contrast monochrome with a channel drop (same
+    luminance polarity; the round-3 original inverted here, which combined
+    with 3 other drastic styles collapsed all models to 0.0 OOD)."""
+    q = np.round(g * 3) / 3
+    img = (0.08 + 0.9 * q)[..., None].repeat(3, -1)
+    img[..., rng.randint(0, 3)] *= rng.uniform(0.45, 0.7)
     return np.clip(img, 0, 1).astype(np.float32)
 
 
@@ -181,8 +192,16 @@ def render_face(rng, size: int, male: int, smiling: int) -> np.ndarray:
     def P(pts):
         return _tf(pts, s, ang, cx, cy)
 
-    rx = 0.245 + 0.075 * male + rng.uniform(-0.035, 0.035)
-    ry = 0.36 + rng.uniform(-0.03, 0.03)
+    rx = 0.23 + 0.09 * male + rng.uniform(-0.03, 0.03)
+    ry = 0.355 + rng.uniform(-0.025, 0.025)
+    # female: long hair strands down both sides (strong redundant cue)
+    if not male:
+        hy = 0.30 + rng.uniform(-0.02, 0.02)
+        for sx in (-1, 1):
+            hx = 0.5 + sx * (rx + 0.055 + rng.uniform(-0.01, 0.01))
+            draw.polygon(P([(hx - 0.045, hy), (hx + 0.045, hy),
+                            (hx + 0.03, 0.86 + rng.uniform(-0.04, 0.04)),
+                            (hx - 0.03, 0.86)]), fill=0.75)
     draw.polygon(P(_ellipse_pts(0.5, 0.54, rx, ry)), fill=0.55)
     # hair cap (top third of the head)
     hr = _ellipse_pts(0.5, 0.30, rx * 1.04, 0.14 + rng.uniform(-0.02, 0.02))
@@ -193,18 +212,28 @@ def render_face(rng, size: int, male: int, smiling: int) -> np.ndarray:
         ey = 0.47 + rng.uniform(-0.015, 0.015)
         draw.polygon(P(_ellipse_pts(ex, ey, 0.028, 0.02, 12)), fill=1.0)
         # eyebrow: thicker for male (with noise overlap)
-        bw = (0.012 + 0.014 * male + rng.uniform(-0.007, 0.007))
+        bw = (0.012 + 0.018 * male + rng.uniform(-0.006, 0.006))
         by = ey - 0.055 + rng.uniform(-0.01, 0.01)
         draw.line(P([(ex - 0.05, by), (ex + 0.05, by)]),
                   fill=0.95, width=max(1, int(round(bw * s * _SS))))
     # nose
     draw.line(P([(0.5, 0.5), (0.49, 0.6)]), fill=0.8, width=w)
-    # mouth: quadratic arc, curvature sign = smiling (noisy magnitude)
-    curve = (0.07 if smiling else -0.05) + rng.uniform(-0.02, 0.02)
+    # mouth: smiling = OPEN mouth (bright ellipse, upward arc); not smiling
+    # = thin flat/frowning line — shape cue, not just curvature sign
     my = 0.7 + rng.uniform(-0.015, 0.015)
     mw = 0.1 + 0.03 * male + rng.uniform(-0.015, 0.015)
-    pts = _bezier((0.5 - mw, my), (0.5, my + curve), (0.5 + mw, my))
-    draw.line(P([tuple(p) for p in pts]), fill=0.95, width=w + _SS)
+    if smiling:
+        m_pts = _ellipse_pts(0.5, my + 0.01, mw,
+                             0.045 + rng.uniform(-0.01, 0.01), 20)
+        draw.polygon(P(m_pts), fill=0.95)
+        curve = 0.07 + rng.uniform(-0.015, 0.015)
+        pts = _bezier((0.5 - mw, my - 0.02), (0.5, my - 0.02 + curve),
+                      (0.5 + mw, my - 0.02))
+        draw.line(P([tuple(p) for p in pts]), fill=0.3, width=w)
+    else:
+        curve = -0.045 + rng.uniform(-0.02, 0.015)
+        pts = _bezier((0.5 - mw, my), (0.5, my + curve), (0.5 + mw, my))
+        draw.line(P([tuple(p) for p in pts]), fill=0.95, width=w + _SS)
     return _finish(img, size)
 
 
@@ -384,7 +413,7 @@ def _celeba_style(idx, g, rng):
     if idx == 1:
         return style_sketch(g, rng)
     if idx == 2:
-        return style_negative(g, rng)
+        return style_posterize(g, rng)
     return style_art(g, rng)
 
 

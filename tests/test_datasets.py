@@ -175,3 +175,47 @@ def test_mig_expr_runner_tiny(tmp_path):
     assert df.mig.notna().all() and df.elbo.notna().all()
     import glob
     assert glob.glob(str(tmp_path / "mig_elbo_s5_*.csv"))
+
+
+def test_synth64_determinism_and_style_separation():
+    """The round-3 discriminative generators: deterministic in seed, style
+    drastically shifts pixel statistics (the OOD axis), and content keeps a
+    consistent luminance polarity across styles (what makes cross-style
+    transfer possible at all — see synth64.style_sketch docstring)."""
+    from clearvae_tpu.data.synth64 import (synthetic_celeba64,
+                                           synthetic_pacs64,
+                                           synthetic_camelyon64)
+
+    for fn, n_styles in [(synthetic_celeba64, 4), (synthetic_pacs64, 4),
+                         (synthetic_camelyon64, 5)]:
+        a = fn(64, seed=3)
+        b = fn(64, seed=3)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        imgs, labels, styles = a
+        # style shifts global statistics far more than class does
+        style_means = np.asarray([imgs[styles == s].mean()
+                                  for s in range(n_styles)])
+        class_means = np.asarray([imgs[labels == c].mean()
+                                  for c in np.unique(labels)])
+        assert style_means.std() > 3 * class_means.std(), (
+            style_means, class_means)
+
+
+def test_synth64_content_polarity_consistent():
+    """In every celeba/pacs style the content region is brighter than the
+    ground (no polarity flips)."""
+    from clearvae_tpu.data.synth64 import (render_face, _celeba_style,
+                                           render_pacs_object, _pacs_style)
+
+    rng = np.random.RandomState(0)
+    for styler, renderer, args in [
+            (_celeba_style, render_face, (1, 1)),
+            (_pacs_style, render_pacs_object, (5,))]:
+        for idx in range(4):
+            g = renderer(np.random.RandomState(1), 64, *args)
+            img = styler(idx, g, rng)
+            lum = img.mean(-1)
+            obj = lum[g > 0.3].mean()
+            ground = lum[g <= 0.01].mean()
+            assert obj > ground, (renderer.__name__, idx, obj, ground)

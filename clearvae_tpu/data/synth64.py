@@ -218,22 +218,26 @@ def render_face(rng, size: int, male: int, smiling: int) -> np.ndarray:
                   fill=0.95, width=max(1, int(round(bw * s * _SS))))
     # nose
     draw.line(P([(0.5, 0.5), (0.49, 0.6)]), fill=0.8, width=w)
-    # mouth: smiling = OPEN mouth (bright ellipse, upward arc); not smiling
-    # = thin flat/frowning line — shape cue, not just curvature sign
+    # mouth: smiling = big BRIGHT open mouth (low-frequency luminance cue
+    # that survives every style transform); not smiling = thin DARK line.
+    # Shape-only smile cues (arc curvature) are invisible to a CNN after
+    # drastic styling — measured at chance by the torch proxy in round 3.
     my = 0.7 + rng.uniform(-0.015, 0.015)
-    mw = 0.1 + 0.03 * male + rng.uniform(-0.015, 0.015)
     if smiling:
-        m_pts = _ellipse_pts(0.5, my + 0.01, mw,
-                             0.045 + rng.uniform(-0.01, 0.01), 20)
-        draw.polygon(P(m_pts), fill=0.95)
-        curve = 0.07 + rng.uniform(-0.015, 0.015)
-        pts = _bezier((0.5 - mw, my - 0.02), (0.5, my - 0.02 + curve),
-                      (0.5 + mw, my - 0.02))
-        draw.line(P([tuple(p) for p in pts]), fill=0.3, width=w)
+        mw = 0.15 + 0.02 * male + rng.uniform(-0.015, 0.015)
+        m_pts = _ellipse_pts(0.5, my, mw, 0.06 + rng.uniform(-0.012, 0.012),
+                             20)
+        draw.polygon(P(m_pts), fill=1.0)
+        # raised-cheek creases flanking the mouth (redundant cue)
+        for sx in (-1, 1):
+            draw.line(P([(0.5 + sx * (mw + 0.015), my - 0.03),
+                         (0.5 + sx * (mw + 0.05), my - 0.08)]),
+                      fill=0.95, width=w)
     else:
-        curve = -0.045 + rng.uniform(-0.02, 0.015)
+        mw = 0.09 + 0.02 * male + rng.uniform(-0.012, 0.012)
+        curve = -0.04 + rng.uniform(-0.02, 0.015)
         pts = _bezier((0.5 - mw, my), (0.5, my + curve), (0.5 + mw, my))
-        draw.line(P([tuple(p) for p in pts]), fill=0.95, width=w + _SS)
+        draw.line(P([tuple(p) for p in pts]), fill=0.22, width=w + _SS)
     return _finish(img, size)
 
 

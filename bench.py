@@ -99,7 +99,7 @@ def clear_vae_train_flops_per_image(z_dim: int = Z_DIM, batch: int = BATCH,
 
 
 def _make_state_and_step(kind: str, dtype, z_dim: int, size: int,
-                         in_ch: int):
+                         in_ch: int, fused_heads: bool = False):
     import jax
     import optax
 
@@ -109,6 +109,8 @@ def _make_state_and_step(kind: str, dtype, z_dim: int, size: int,
     from clearvae_tpu.train import steps as S
 
     kw = {"dtype": dtype} if dtype is not None else {}
+    if fused_heads:
+        kw["fused_heads"] = True
     cls = VAE64 if size >= 64 else VAE
     model = cls(total_z_dim=z_dim, in_channel=in_ch, **kw)
     tx = optax.adam(5e-4)
@@ -146,7 +148,8 @@ def _make_state_and_step(kind: str, dtype, z_dim: int, size: int,
 
 def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
                    z_dim: int = Z_DIM, size: int = 28, in_ch: int = 1,
-                   target_window_images: int = 400_000, n_images: int = N_IMAGES):
+                   target_window_images: int = 400_000, n_images: int = N_IMAGES,
+                   fused_heads: bool = False):
     """Returns median images/sec/chip over 3 timing windows for one config.
 
     The production fast path: HBM-resident data, a whole block of epochs
@@ -170,7 +173,8 @@ def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
         data = rs.rand(n_images, size, size, in_ch).astype(np.float32)
         labels = rs.randint(0, 10, n_images)
 
-    model, state, step = _make_state_and_step(kind, dtype, z_dim, size, in_ch)
+    model, state, step = _make_state_and_step(kind, dtype, z_dim, size, in_ch,
+                                              fused_heads=fused_heads)
 
     mesh = None
     if jax.device_count() > 1:

@@ -74,6 +74,11 @@ class VAE(nn.Module):
     # compute dtype for the conv stacks (params + heads + losses stay f32);
     # jnp.bfloat16 roughly doubles training throughput on TPU
     dtype: Any = jnp.float32
+    # perf-mode option: emit all four latent heads from ONE [flat, 2·z] Dense
+    # (one MXU matmul instead of four small ones) and split. Identical math
+    # and init distribution (DenseTorch init depends only on fan_in), but a
+    # different param tree — NOT checkpoint-compatible with the default.
+    fused_heads: bool = False
 
     # architecture hooks overridden by VAE64
     enc_channels: Sequence[int] = (32, 64, 128)
@@ -89,10 +94,13 @@ class VAE(nn.Module):
     def setup(self):
         self.encoder = ConvBNReluStack(self.enc_channels, self.enc_kernel, 2, 1,
                                        dtype=self.dtype)
-        self.mu_c_head = DenseTorch(self.z_dim)
-        self.logvar_c_head = DenseTorch(self.z_dim)
-        self.mu_s_head = DenseTorch(self.z_dim)
-        self.logvar_s_head = DenseTorch(self.z_dim)
+        if self.fused_heads:
+            self.latent_heads = DenseTorch(4 * self.z_dim)
+        else:
+            self.mu_c_head = DenseTorch(self.z_dim)
+            self.logvar_c_head = DenseTorch(self.z_dim)
+            self.mu_s_head = DenseTorch(self.z_dim)
+            self.logvar_s_head = DenseTorch(self.z_dim)
         dec_channels = (self.enc_channels[-1],) + tuple(
             reversed(self.enc_channels[:-1])
         ) + (self.in_channel,)
@@ -102,6 +110,9 @@ class VAE(nn.Module):
     def encode(self, x: Array, train: bool = False):
         """(mu_c, logvar_c, mu_s, logvar_s) — reference vae.py:48-50."""
         h = self.encoder(x, train).astype(jnp.float32)
+        if self.fused_heads:
+            out = self.latent_heads(h)
+            return tuple(jnp.split(out, 4, axis=-1))
         return (self.mu_c_head(h), self.logvar_c_head(h),
                 self.mu_s_head(h), self.logvar_s_head(h))
 

@@ -24,10 +24,10 @@ phase_A() {
   for seed in 7 19 42; do
     run celeba_s$seed -m clearvae_tpu.experiments.celeba_downstream \
         --epochs 41 --n_synthetic 8192 --k_max 3 --seed $seed \
-        --epochs_per_scan 4
+        --vae_lr 1e-4 --epochs_per_scan 4
     run pacs_s$seed -m clearvae_tpu.experiments.pacs_downstream \
         --epochs 41 --n_synthetic 8192 --k_max 3 --seed $seed \
-        --epochs_per_scan 4
+        --vae_lr 1e-4 --epochs_per_scan 4
     run camelyon17_s$seed -m clearvae_tpu.experiments.camelyon17_downstream \
         --epochs 7 --cnn_epochs 6 --n_synthetic 8192 --k 1 --seed $seed
   done

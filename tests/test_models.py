@@ -106,3 +106,33 @@ def test_batchnorm_updates_stats_in_train_only():
     after = muts["batch_stats"]
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), before, after)
     assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_vae_fused_heads_option():
+    """Perf-mode fused latent heads: same shapes + same output distribution
+    family (one [flat, 2z] matmul split four ways) and trains through a
+    CLEAR step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
+    from clearvae_tpu.models.vae import VAE
+    from clearvae_tpu.train.steps import init_vae_state, make_clear_vae_step
+
+    model = VAE(total_z_dim=16, fused_heads=True)
+    x = jnp.zeros((4, 28, 28, 1))
+    variables = model.init({"params": jax.random.key(0),
+                            "reparam": jax.random.key(1)}, x)
+    assert "latent_heads" in variables["params"]
+    assert "mu_c_head" not in variables["params"]
+    heads = model.apply(variables, x, train=False, method="encode")
+    assert all(h.shape == (4, 8) for h in heads)
+
+    tx = optax.adam(5e-4)
+    state = init_vae_state(model, tx, jax.random.key(2), 28, 1)
+    step = make_clear_vae_step(model, tx, AnnealConfig(), ContrastiveConfig())
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 28, 28, 1), jnp.float32)
+    lbl = jnp.asarray(np.arange(8) % 3)
+    state, m = step(state, x, lbl, jax.random.key(3))
+    assert np.isfinite(float(m["loss"]))

@@ -669,25 +669,57 @@ def make_multi_epoch_fn(step_core, mesh=None):
     return multi_epoch_fn
 
 
+def make_probe_feature_epochs_fn(mlp, tx):
+    """Fuse the ENTIRE probe training (all epochs × batches on cached
+    features) into one donated XLA program.
+
+    The probe MLP trains on [n, z] features — tiny math, so the per-batch
+    eager loop is pure dispatch latency (41 epochs × ~300 batches ≈ 12k
+    round-trips through the remote-TPU tunnel ≈ half a minute per probe).
+    ``batch_idx`` is [n_epochs, n_batches, B]; one dispatch trains the
+    whole probe."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epochs_fn(mlp_state: TrainState, feats, labels, batch_idx):
+        def epoch(st, bi):
+            def body(st, idx):
+                st, m = _probe_feature_core(mlp, tx, st,
+                                            jnp.take(feats, idx, axis=0),
+                                            jnp.take(labels, idx, axis=0))
+                return st, m["loss"]
+
+            st, losses = jax.lax.scan(body, st, bi)
+            return st, losses[-1]
+
+        mlp_state, losses = jax.lax.scan(epoch, mlp_state, batch_idx)
+        return mlp_state, {"loss": losses}
+
+    return epochs_fn
+
+
+def _probe_feature_core(mlp, tx, mlp_state: TrainState, mu_c, label):
+    def loss_fn(params, batch_stats):
+        logits, muts = mlp.apply({"params": params,
+                                  "batch_stats": batch_stats}, mu_c,
+                                 train=True, mutable=["batch_stats"])
+        return _ce(logits, label), muts["batch_stats"]
+
+    (loss, new_stats), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(mlp_state.params, mlp_state.batch_stats)
+    updates, opt_state = tx.update(grads, mlp_state.opt_state,
+                                   mlp_state.params)
+    return mlp_state.replace(
+        params=optax.apply_updates(mlp_state.params, updates),
+        batch_stats=new_stats, opt_state=opt_state,
+        step=mlp_state.step + 1), {"loss": loss}
+
+
 def make_probe_feature_step(mlp, tx):
     """Probe step on pre-encoded features (frozen-VAE encode cached once)."""
 
     @jax.jit
     def step_fn(mlp_state: TrainState, mu_c, label):
-        def loss_fn(params, batch_stats):
-            logits, muts = mlp.apply({"params": params,
-                                      "batch_stats": batch_stats}, mu_c,
-                                     train=True, mutable=["batch_stats"])
-            return _ce(logits, label), muts["batch_stats"]
-
-        (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(mlp_state.params, mlp_state.batch_stats)
-        updates, opt_state = tx.update(grads, mlp_state.opt_state,
-                                       mlp_state.params)
-        return mlp_state.replace(
-            params=optax.apply_updates(mlp_state.params, updates),
-            batch_stats=new_stats, opt_state=opt_state,
-            step=mlp_state.step + 1), {"loss": loss}
+        return _probe_feature_core(mlp, tx, mlp_state, mu_c, label)
 
     return step_fn
 

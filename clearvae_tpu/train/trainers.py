@@ -552,6 +552,8 @@ class DownstreamMLPTrainer:
                                             self.tx)
         self.logits_fn = S.make_probe_logits_fn(self.vae_model, self.mlp)
         self._feat_step = S.make_probe_feature_step(self.mlp, self.tx)
+        self._feat_epochs_fn = S.make_probe_feature_epochs_fn(self.mlp,
+                                                              self.tx)
 
     def _next_rng(self):
         self._rng, k = jax.random.split(self._rng)
@@ -582,15 +584,28 @@ class DownstreamMLPTrainer:
             n = len(labels)
             bs = min(batch_size, n)
             nb = n // bs
-            for epoch in range(epochs):
-                perm = np.random.RandomState(epoch).permutation(n)
-                for bi in perm[: nb * bs].reshape(nb, bs):
-                    mu_c = feats_j[bi]
-                    lbl = labels_j[bi]
-                    self.state, _ = self._feat_step(self.state, mu_c, lbl)
-                if valid_ds is not None and (epoch % self.verbose_period) == 0:
+
+            def _perm(epoch):
+                return (np.random.RandomState(epoch).permutation(n)
+                        [: nb * bs].reshape(nb, bs))
+
+            # the whole probe training (or each verbose block) is ONE XLA
+            # dispatch — the per-batch math is tiny [B, z] MLP steps, so the
+            # eager loop was pure tunnel-dispatch latency (~12k round-trips
+            # for the reference 41-epoch probe)
+            block = (epochs if valid_ds is None
+                     else max(1, int(self.verbose_period)))
+            epoch = 0
+            while epoch < epochs:
+                e = min(block, epochs - epoch)
+                bi = jnp.asarray(np.stack([_perm(epoch + i)
+                                           for i in range(e)]))
+                self.state, _ = self._feat_epochs_fn(self.state, feats_j,
+                                                     labels_j, bi)
+                epoch += e
+                if valid_ds is not None and epoch < epochs:
                     (aupr, auroc), acc = self.evaluate(valid_ds, batch_size)
-                    print(f"probe epoch {epoch}: acc={round(acc, 3)}")
+                    print(f"probe epoch {epoch - 1}: acc={round(acc, 3)}")
             return
         for epoch in range(epochs):
             for batch in train_ds.batches(batch_size, shuffle=True, seed=epoch):

@@ -244,3 +244,38 @@ def test_fit_with_metric_logger(tmp_path):
     assert len(lines) == 2
     assert lines[0]["tag"] == "train" and "images_per_sec" in lines[0]
     assert "loss" in lines[1] and lines[1]["epoch"] == 1
+
+
+def test_bench_flops_accounting():
+    """Analytic FLOPs: VAE64 ≈ 15× the 28px VAE per image; TC/MIM variants
+    strictly dearer than plain CLEAR; batch term linear in B."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    base = bench.clear_vae_train_flops_per_image()
+    assert 25e6 < base < 32e6  # 28.0 MFLOP/image (BASELINE.md)
+    v64 = bench.clear_vae_train_flops_per_image(z_dim=64, size=64, in_ch=3)
+    assert 10 * base < v64 < 20 * base
+    tc = bench.clear_vae_train_flops_per_image(variant="tc")
+    mim = bench.clear_vae_train_flops_per_image(variant="mim")
+    assert tc > base and mim > base
+    b2 = bench.clear_vae_train_flops_per_image(batch=2048)
+    assert b2 > base  # the [B,B] contrastive term grows with batch
+
+
+def test_trace_categorizer():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "analyze_trace", os.path.join(os.path.dirname(__file__), "..",
+                                      "scripts", "analyze_trace.py"))
+    at = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(at)
+    assert at.categorize("convolution", "jit(f)/conv_general_dilated") == "conv"
+    assert at.categorize("fusion", ".../encoder/BatchNorm_0/add") == "batchnorm"
+    assert at.categorize("dot", "jit(f)/dot_general") == "dense/matmul"
+    assert at.categorize("fusion", "transpose(...)") == "data gather/transpose"
+    assert at.categorize("fusion", "jit(f)/add") == "elementwise/fusion"
+    assert at.categorize("custom-call", "somethingelse") == "other"

@@ -389,19 +389,23 @@ def style_stain(g, rng, hue, dark, blur_px):
     return np.clip(img, 0, 1).astype(np.float32)
 
 
-# per-hospital stain appearance (strongly separated on purpose: the OOD
-# axis must dominate raw-pixel statistics like the real Camelyon17 centers)
+# per-hospital stain appearance. Calibrated for the notebook's k=1-only
+# protocol (1 of 5 hospitals seen per class): a first, strongly-separated
+# version (hue families from purple to blue-gray, darkness 0.75-1.15,
+# blur up to 2) pushed every model BELOW chance on the held-out hospitals
+# (0.38-0.44 binary accuracy, round-3 campaign seed 7) — the shift must stay
+# inside one H&E-like family for the single-k cell to be discriminative.
 HOSPITAL_STAINS = [
     {"hue": {"bg": (0.93, 0.80, 0.86), "fg": (0.45, 0.15, 0.45)},
      "dark": 1.0, "blur": 0},
-    {"hue": {"bg": (0.85, 0.70, 0.80), "fg": (0.30, 0.10, 0.35)},
-     "dark": 0.75, "blur": 0},
-    {"hue": {"bg": (0.95, 0.88, 0.80), "fg": (0.55, 0.30, 0.25)},
+    {"hue": {"bg": (0.88, 0.74, 0.82), "fg": (0.35, 0.12, 0.40)},
+     "dark": 0.92, "blur": 0},
+    {"hue": {"bg": (0.95, 0.84, 0.82), "fg": (0.52, 0.22, 0.35)},
      "dark": 1.0, "blur": 1},
-    {"hue": {"bg": (0.80, 0.85, 0.92), "fg": (0.15, 0.25, 0.50)},
-     "dark": 0.9, "blur": 0},
-    {"hue": {"bg": (0.90, 0.90, 0.90), "fg": (0.20, 0.20, 0.22)},
-     "dark": 1.15, "blur": 2},
+    {"hue": {"bg": (0.90, 0.78, 0.90), "fg": (0.40, 0.18, 0.50)},
+     "dark": 0.96, "blur": 0},
+    {"hue": {"bg": (0.92, 0.83, 0.84), "fg": (0.42, 0.20, 0.38)},
+     "dark": 1.06, "blur": 1},
 ]
 
 

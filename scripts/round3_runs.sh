@@ -34,6 +34,9 @@ phase_A() {
 }
 
 phase_B() {
+  # rerun the seed-7 camelyon cell dropped with the old out-of-family stains
+  run camelyon17_s7_rerun -m clearvae_tpu.experiments.camelyon17_downstream \
+      --epochs 7 --cnn_epochs 6 --n_synthetic 8192 --k 1 --seed 7
   for model in cleartcvae clearmimvae gvae; do
     run demo_$model -m clearvae_tpu.experiments.demo \
         --dataset styled --model $model --epochs 31 --n_total 20000 \
@@ -45,7 +48,12 @@ phase_B() {
 }
 
 phase_C() {
-  for seed in 3 11 23 31; do
+  # seed 3 runs the first-class on-device styling path in production
+  # (numerics pinned equal to the materialized path, tests/test_parallel.py)
+  run styledmnist_full_s3 \
+      -m clearvae_tpu.experiments.styledmnist_downstream \
+      --epochs 41 --seed 3 --epochs_per_scan 4 --style_on_device
+  for seed in 11 23 31; do
     run styledmnist_full_s$seed \
         -m clearvae_tpu.experiments.styledmnist_downstream \
         --epochs 41 --seed $seed --epochs_per_scan 4

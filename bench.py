@@ -274,6 +274,9 @@ def get_torch_baseline() -> float:
 # name → (measure_config kwargs, flops kwargs)
 EXTRA_CONFIGS = {
     "clear_28_bf16": (dict(dtype="bf16"), dict()),
+    # the trace-informed optimization (VERDICT r2 item 2): the four latent
+    # heads + decoder dense folded into one [flat, 2z] matmul
+    "clear_28_fusedheads": (dict(fused_heads=True), dict()),
     "vae64_clear": (dict(z_dim=64, size=64, in_ch=3, n_images=2048,
                          target_window_images=60_000),
                     dict(z_dim=64, size=64, in_ch=3)),

@@ -1,1 +1,1 @@
-from clearvae_tpu.parallel import mesh  # noqa: F401
+from clearvae_tpu.parallel import mesh, tp  # noqa: F401

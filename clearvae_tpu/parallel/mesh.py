@@ -63,3 +63,21 @@ def replicate_state(mesh: Mesh, state):
     """Replicate a pytree (TrainState) across the mesh."""
     sh = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), state)
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Extent of the 'data' axis (the batch-sharding divisor) — equals
+    ``mesh.size`` for the 1-D DP mesh, the data extent of a 2-D
+    (data, model) mesh."""
+    return int(mesh.shape.get(DATA_AXIS, mesh.size))
+
+
+def place_state(mesh: Mesh, state):
+    """Mesh-aware TrainState placement: replicate on a pure-data mesh,
+    shard weights + optimizer state over 'model' when the mesh has a model
+    axis (see clearvae_tpu.parallel.tp)."""
+    from clearvae_tpu.parallel.tp import MODEL_AXIS, shard_state_tp
+
+    if MODEL_AXIS in mesh.axis_names:
+        return shard_state_tp(mesh, state)
+    return replicate_state(mesh, state)

@@ -10,7 +10,10 @@ trainer.py:818).
 
 Under a device mesh (``mesh=`` argument) the batch is sharded across the
 'data' axis and params are replicated; XLA inserts the gradient psum and the
-latent all-gathers for the batch-global contrastive terms.
+latent all-gathers for the batch-global contrastive terms. Passing a 2-D
+(data, model) mesh (``parallel.tp.make_mesh2d``) instead shards weights and
+optimizer state over 'model' (tensor parallelism) with identical numerics —
+the placement is chosen by ``parallel.mesh.place_state``.
 """
 
 from __future__ import annotations
@@ -26,7 +29,8 @@ from clearvae_tpu import config as C
 from clearvae_tpu.models.factor import FactorCls
 from clearvae_tpu.models.mlp import ProbeMLP
 from clearvae_tpu.ops import metrics as MT
-from clearvae_tpu.parallel.mesh import shard_batch, replicate_state
+from clearvae_tpu.parallel.mesh import (data_axis_size, place_state,
+                                         shard_batch)
 from clearvae_tpu.train import steps as S
 
 
@@ -118,7 +122,7 @@ class TrainerCore:
         if self.state is None:
             self.state = self._init_state()
         if self.mesh is not None:
-            self.state = replicate_state(self.mesh, self.state)
+            self.state = place_state(self.mesh, self.state)
         if use_scan is None:
             use_scan = hasattr(self.train_step, "core")
         styled_path = (style_on_device and use_scan
@@ -157,7 +161,7 @@ class TrainerCore:
                 data = jnp.asarray(train_ds.images)
             labels = jnp.asarray(train_ds.labels)
             n = len(train_ds)
-            if self.mesh is not None and n % self.mesh.size == 0:
+            if self.mesh is not None and n % data_axis_size(self.mesh) == 0:
                 if styled_path:
                     data, labels, *style_args = shard_batch(
                         self.mesh, data, labels, *style_args)
@@ -290,7 +294,7 @@ class VAETrainerBase(TrainerCore):
                 data = jnp.asarray(ds.images)
             lbls = jnp.asarray(ds.labels)
             n = len(ds)
-            if self.mesh is not None and n % self.mesh.size == 0:
+            if self.mesh is not None and n % data_axis_size(self.mesh) == 0:
                 data, lbls = shard_batch(self.mesh, data, lbls)
             bs = min(batch_size, n)
             nb = n // bs

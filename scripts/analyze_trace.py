@@ -18,8 +18,12 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import re
 import sys
+
+# package: scripts/ is sys.path[0], so add the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 CATEGORIES = [

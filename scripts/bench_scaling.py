@@ -9,6 +9,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# package: scripts/ is sys.path[0], so add the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

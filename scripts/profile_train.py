@@ -7,6 +7,11 @@ all, SURVEY §5).
 """
 
 import argparse
+import os
+import sys
+
+# package: scripts/ is sys.path[0], so add the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

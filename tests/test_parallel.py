@@ -325,3 +325,129 @@ def test_fit_style_on_device_matches_materialized():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------- tensor par.
+
+
+def test_tp_param_placement_rules():
+    """shard_state_tp shards conv/dense kernels + matching channel vectors
+    over 'model' and replicates indivisible leaves (final in_channel=1 conv)
+    and scalars — including the Adam mu/nu mirrors (ZeRO-style)."""
+    from clearvae_tpu.parallel.tp import (MODEL_AXIS, make_mesh2d,
+                                          shard_state_tp)
+
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    state = init_vae_state(model, tx, jax.random.key(0), 28, 1)
+    mesh = make_mesh2d(2, 4)
+    st = shard_state_tp(mesh, state)
+
+    def axes(leaf):
+        return set(a for s in leaf.sharding.spec for a in (
+            (s,) if isinstance(s, str) else (s or ())))
+
+    flat = jax.tree_util.tree_flatten_with_path(st.params)[0]
+    sharded = [(p, l) for p, l in flat if MODEL_AXIS in axes(l)]
+    assert len(sharded) >= 8, [jax.tree_util.keystr(p) for p, _ in flat]
+    # conv kernels shard on the output-channel (last) dim
+    k4 = [l for _, l in sharded if l.ndim == 4]
+    assert k4 and all(l.sharding.spec[3] == MODEL_AXIS for l in k4)
+    # the decoder's final conv (out-channels = in_channel = 1) replicates
+    rep4 = [l for p, l in flat if l.ndim == 4 and MODEL_AXIS not in axes(l)]
+    assert any(l.shape[3] == 1 for l in rep4)
+    # Adam mu mirrors the param shardings
+    mu_flat = jax.tree_util.tree_flatten_with_path(st.opt_state)[0]
+    assert sum(MODEL_AXIS in axes(l) for _, l in mu_flat
+               if hasattr(l, "sharding")) >= 2 * len(sharded)
+    # the traced step counter stays replicated
+    assert axes(st.step) == set()
+
+
+def test_tp_matches_single_device(setup):
+    """(data=2, model=4) mesh: weights sharded over 'model', batch over
+    'data' — numerics must match single-device exactly like plain DP."""
+    from clearvae_tpu.parallel.tp import make_mesh2d, shard_state_tp
+
+    model, tx, state, step, x, label = setup
+    rng = jax.random.key(42)
+    s1, m1 = step(state, x, label, rng)
+
+    mesh = make_mesh2d(2, 4)
+    st = shard_state_tp(mesh, state)
+    xs, ls = shard_batch(mesh, x, label)
+    s8, m8 = step(st, xs, ls, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["c_loss"]), float(m8["c_loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-3 * max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() <= max(tol, 1.2e-3), np.abs(a - b).max()
+    # the updated state keeps its model-axis shardings (no silent regather)
+    from clearvae_tpu.parallel.tp import MODEL_AXIS
+    specs = [l.sharding.spec for l in jax.tree.leaves(s8.params)
+             if hasattr(l, "sharding")]
+    assert any(MODEL_AXIS in [a for s in sp for a in ((s,) if isinstance(s, str)
+               else (s or ()))] for sp in specs)
+
+
+def test_tp_scanned_epoch_matches_single_device():
+    """The scanned multi-epoch fast path composes with the 2-D mesh."""
+    from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
+    from clearvae_tpu.parallel.tp import make_mesh2d, shard_state_tp
+    from clearvae_tpu.train.steps import make_multi_epoch_fn
+
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    step = make_clear_vae_step(model, tx, AnnealConfig(beta=1 / 8),
+                               ContrastiveConfig(alpha=100.0))
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.rand(64, 28, 28, 1), jnp.float32)
+    label = jnp.asarray(rs.randint(0, 10, 64))
+    bi = jnp.asarray(np.stack([np.arange(64).reshape(4, 16)] * 2))
+    rng = jax.random.key(9)
+
+    s1 = init_vae_state(model, tx, jax.random.key(2), 28, 1)
+    _, m1 = make_multi_epoch_fn(step.core)(s1, x, label, bi, rng)
+
+    mesh = make_mesh2d(4, 2)
+    s8 = shard_state_tp(mesh, init_vae_state(model, tx, jax.random.key(2),
+                                             28, 1))
+    xs, ls = shard_batch(mesh, x, label)
+    _, m8 = make_multi_epoch_fn(step.core, mesh=mesh)(s8, xs, ls, bi, rng)
+    np.testing.assert_allclose(np.asarray(m1["loss"]).ravel(),
+                               np.asarray(m8["loss"]).ravel(), rtol=2e-4)
+
+
+def test_tp_trainer_user_path():
+    """User-level TP: passing a (data, model) mesh to a Trainer TP-shards
+    the state via place_state and trains/evaluates with DP-equal numerics."""
+    from clearvae_tpu.parallel.tp import MODEL_AXIS, make_mesh2d
+    from clearvae_tpu.train.trainers import CLEARVAETrainer
+
+    ds = _tiny_ds()
+    hp = {"temperature": 0.1, "alpha": 100.0, "beta": 1 / 8, "ps": True}
+
+    t1 = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4), "cosine", hp,
+                         seed=0)
+    t1.fit(2, ds, batch_size=16, use_scan=True)
+
+    t2 = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4), "cosine", hp,
+                         seed=0, mesh=make_mesh2d(4, 2))
+    t2.fit(2, ds, batch_size=16, use_scan=True)
+
+    # params sharded over 'model' and numerics match the meshless run
+    specs = [l.sharding.spec for l in jax.tree.leaves(t2.state.params)]
+    assert any(MODEL_AXIS in [a for s in sp for a in ((s,) if isinstance(
+        s, str) else (s or ()))] for sp in specs)
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 8 * 5e-4 * 2, np.abs(a - b).max()
+
+    mig1, mse1 = t1.evaluate(ds, batch_size=16)
+    mig2, mse2 = t2.evaluate(ds, batch_size=16)
+    np.testing.assert_allclose(mse1, mse2, rtol=1e-3)

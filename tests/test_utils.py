@@ -279,3 +279,38 @@ def test_trace_categorizer():
     assert at.categorize("fusion", "transpose(...)") == "data gather/transpose"
     assert at.categorize("fusion", "jit(f)/add") == "elementwise/fusion"
     assert at.categorize("custom-call", "somethingelse") == "other"
+
+
+def test_checkpoint_roundtrip_tp_sharded(tmp_path):
+    """Checkpointing a TP-sharded TrainState gathers on save (np.asarray)
+    and re-shards on the next fit via place_state — the round trip must
+    preserve values and resume training on the 2-D mesh."""
+    import optax
+
+    from clearvae_tpu.data.common import ArrayDataset
+    from clearvae_tpu.models.vae import VAE
+    from clearvae_tpu.parallel.tp import make_mesh2d
+    from clearvae_tpu.train.trainers import CLEARVAETrainer
+    from clearvae_tpu.utils.checkpoint import (latest_checkpoint,
+                                               restore_checkpoint,
+                                               save_checkpoint)
+
+    rs = np.random.RandomState(0)
+    ds = ArrayDataset(rs.rand(32, 28, 28, 1).astype(np.float32),
+                      rs.randint(0, 10, 32), np.zeros(32, np.int64))
+    hp = {"temperature": 0.1, "alpha": 100.0, "beta": 1 / 8, "ps": True}
+    mesh = make_mesh2d(4, 2)
+    t = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4), "cosine", hp,
+                        seed=0, mesh=mesh)
+    t.fit(1, ds, batch_size=16)
+    path = save_checkpoint(str(tmp_path / "ck"), t.state)
+    assert latest_checkpoint(str(tmp_path / "ck")) == path
+
+    t2 = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4), "cosine", hp,
+                         seed=0, mesh=mesh)
+    t2.state = restore_checkpoint(path, t2._init_state())
+    for a, b in zip(jax.tree.leaves(t.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.fit(1, ds, batch_size=16)  # re-shards via place_state and trains
+    assert int(t2.state.step) == 4

@@ -287,6 +287,11 @@ EXTRA_CONFIGS = {
     "perf_mode_b2048_bf16": (dict(dtype="bf16", batch=2048, n_images=8192,
                                   target_window_images=1_500_000),
                              dict(batch=2048)),
+    # best measured 28px config (round-3 scaling curve peak + fused heads)
+    "perf_mode_b512_bf16_fusedheads": (
+        dict(dtype="bf16", batch=512, fused_heads=True,
+             target_window_images=1_000_000),
+        dict(batch=512)),
 }
 
 

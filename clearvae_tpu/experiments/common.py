@@ -96,6 +96,43 @@ def filter_models(models: dict, names) -> dict:
     return {k: v for k, v in models.items() if k in keep}
 
 
+def run_mig_sweep(models: dict, betas, fpath: str, evaluate_cell):
+    """β×model MIG/ELBO sweep with the CSV as an incremental resume manifest.
+
+    Persists after every (beta, model) cell and skips cells already present,
+    the same failure-recovery design as :func:`run_model_zoo`'s results JSON
+    (the reference sweep is monolithic and only writes at the very end,
+    run_mig_expr_mnist.py:163-198). ``evaluate_cell(name, get_trainer, beta)``
+    must train the model and return ``(mig, elbo)``."""
+    import pandas as pd
+
+    cols = ["model", "beta", "mig", "elbo"]
+    rows, done = [], set()
+    if os.path.exists(fpath):
+        rows = pd.read_csv(fpath).to_dict("records")
+        done = {(r["model"], round(float(r["beta"]), 10)) for r in rows}
+        if rows:
+            print(f"resuming: {len(rows)} finished cells in {fpath}")
+
+    def persist():
+        os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
+        pd.DataFrame(rows)[cols].to_csv(fpath, index=False)
+
+    for beta in betas:
+        print(f"==== BETA {beta} ====")
+        for name, get_trainer in models.items():
+            if (name, round(float(beta), 10)) in done:
+                print(f"---- {name} (cached) ----")
+                continue
+            print(f"---- {name} ----")
+            mig, elbo = evaluate_cell(name, get_trainer, beta)
+            rows.append({"model": name, "beta": beta,
+                         "mig": mig, "elbo": elbo})
+            persist()
+    persist()
+    return pd.DataFrame(rows)[cols]
+
+
 def save_results(results: dict, fpath: str):
     os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
     with open(fpath, "w") as f:

@@ -7,18 +7,22 @@ scale(5) .1, brightness .2} (reference :20-27), 40k/10k/10k split (:66),
 (active default [1/8]; full sweep commented in the reference, :28-29).
 Writes ``expr_output/styled-mnist/mig_elbo_s{seed}_a{alpha}_z{z}_t{temp}.csv``
 with columns model,beta,mig,elbo (:185-198).
+
+The CSV is persisted incrementally after every (beta, model) cell and acts as
+the resume manifest: re-running the same invocation skips finished cells
+(same failure-recovery design as the downstream runners,
+``experiments/common.py``).
 """
 
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
-import pandas as pd
 
 from clearvae_tpu.data.mnist import get_mnist
 from clearvae_tpu.data.styled import StyledDataset, make_styled_mnist
+from clearvae_tpu.experiments.common import run_mig_sweep
 from clearvae_tpu.train.factories import (
     get_clearvae_trainer,
     get_cleartcvae_trainer,
@@ -101,27 +105,18 @@ def main(argv=None):
     train, valid, test = get_data(args)
     models = model_zoo(args)
 
-    rows = []
-    for beta in betas:
-        print(f"==== BETA {beta} ====")
-        for name, get_trainer in models.items():
-            print(f"---- {name} ----")
-            trainer = get_trainer(beta)
-            trainer.fit(args.epochs, train, valid,
-                        batch_size=args.batch_size)
-            if isinstance(trainer, HierarchicalVAETrainer):
-                mig, elbo = trainer.evaluate(test, batch_size=args.batch_size,
-                                             with_evidence_acc=False)
-            else:
-                mig, elbo = trainer.evaluate(test, batch_size=args.batch_size)
-            rows.append({"model": name, "beta": beta, "mig": mig,
-                         "elbo": elbo})
-
-    df = pd.DataFrame(rows)[["model", "beta", "mig", "elbo"]]
-    os.makedirs(args.out, exist_ok=True)
     fpath = (f"{args.out}/mig_elbo_s{args.seed}_a{args.alpha}"
              f"_z{args.z_dim}_t{args.temperature}.csv")
-    df.to_csv(fpath, index=False)
+
+    def cell(name, get_trainer, beta):
+        trainer = get_trainer(beta)
+        trainer.fit(args.epochs, train, valid, batch_size=args.batch_size)
+        if isinstance(trainer, HierarchicalVAETrainer):
+            return trainer.evaluate(test, batch_size=args.batch_size,
+                                    with_evidence_acc=False)
+        return trainer.evaluate(test, batch_size=args.batch_size)
+
+    df = run_mig_sweep(models, betas, fpath, cell)
     print(f"wrote {fpath}")
     return df
 

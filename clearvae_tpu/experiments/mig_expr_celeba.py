@@ -9,12 +9,11 @@ reference :95-155). Writes
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
-import pandas as pd
 
 from clearvae_tpu.data.celeba import get_celeba
+from clearvae_tpu.experiments.common import run_mig_sweep
 from clearvae_tpu.train.factories import (
     get_clearvae_trainer,
     get_cleartcvae_trainer,
@@ -79,26 +78,18 @@ def main(argv=None):
             beta=b, group_mode="GVAE", **hier),
     }
 
-    rows = []
-    for beta in betas:
-        print(f"==== BETA {beta} ====")
-        for name, mk in models.items():
-            print(f"---- {name} ----")
-            trainer = mk(beta)
-            trainer.fit(args.epochs, train, valid, batch_size=args.batch_size)
-            if isinstance(trainer, HierarchicalVAETrainer):
-                mig, elbo = trainer.evaluate(test, batch_size=args.batch_size,
-                                             with_evidence_acc=False)
-            else:
-                mig, elbo = trainer.evaluate(test, batch_size=args.batch_size)
-            rows.append({"model": name, "beta": beta, "mig": mig,
-                         "elbo": elbo})
-
-    df = pd.DataFrame(rows)[["model", "beta", "mig", "elbo"]]
-    os.makedirs(args.out, exist_ok=True)
     fpath = (f"{args.out}/mig_elbo_s{args.seed}_a{args.alpha}"
              f"_z{args.z_dim}_t{args.temperature}.csv")
-    df.to_csv(fpath, index=False)
+
+    def cell(name, mk, beta):
+        trainer = mk(beta)
+        trainer.fit(args.epochs, train, valid, batch_size=args.batch_size)
+        if isinstance(trainer, HierarchicalVAETrainer):
+            return trainer.evaluate(test, batch_size=args.batch_size,
+                                    with_evidence_acc=False)
+        return trainer.evaluate(test, batch_size=args.batch_size)
+
+    df = run_mig_sweep(models, betas, fpath, cell)
     print(f"wrote {fpath}")
     return df
 

@@ -174,7 +174,20 @@ def test_mig_expr_runner_tiny(tmp_path):
                              "mlvae", "gvae"}
     assert df.mig.notna().all() and df.elbo.notna().all()
     import glob
-    assert glob.glob(str(tmp_path / "mig_elbo_s5_*.csv"))
+    csvs = glob.glob(str(tmp_path / "mig_elbo_s5_*.csv"))
+    assert csvs
+
+    # the CSV is the resume manifest: drop one cell, re-run, only that cell
+    # is recomputed and the rest come back cached (common.run_mig_sweep)
+    full = pd.read_csv(csvs[0])
+    full.iloc[:-1].to_csv(csvs[0], index=False)
+    df2 = ME.main(["--epochs", "1", "--n_total", "120", "--batch_size", "24",
+                   "--seed", "5", "--out", str(tmp_path)])
+    assert len(df2) == len(full)
+    pd.testing.assert_frame_equal(
+        df2.iloc[:-1].reset_index(drop=True),
+        full.iloc[:-1].reset_index(drop=True), check_dtype=False)
+    assert set(df2.model) == set(full.model)
 
 
 def test_synth64_determinism_and_style_separation():

@@ -149,7 +149,7 @@ def _make_state_and_step(kind: str, dtype, z_dim: int, size: int,
 def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
                    z_dim: int = Z_DIM, size: int = 28, in_ch: int = 1,
                    target_window_images: int = 400_000, n_images: int = N_IMAGES,
-                   fused_heads: bool = False):
+                   fused_heads: bool = False, unroll: int = 1):
     """Returns median images/sec/chip over 3 timing windows for one config.
 
     The production fast path: HBM-resident data, a whole block of epochs
@@ -182,7 +182,7 @@ def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
                                                 shard_batch)
 
         mesh = make_mesh()
-    epoch_fn = make_multi_epoch_fn(step.core, mesh=mesh)
+    epoch_fn = make_multi_epoch_fn(step.core, mesh=mesh, unroll=unroll)
     data = jnp.asarray(data)
     lbl = jnp.asarray(labels)
     if mesh is not None:

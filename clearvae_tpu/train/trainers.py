@@ -93,7 +93,7 @@ class TrainerCore:
     def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
             use_scan: bool | None = None, checkpoint_dir: str | None = None,
             checkpoint_every: int = 10, logger=None, epochs_per_scan: int = 1,
-            style_on_device: bool = False):
+            style_on_device: bool = False, scan_unroll: int = 1):
         """Train. ``use_scan`` (default on) fuses every epoch into one
         donated XLA program via lax.scan over HBM-resident data — the
         TPU-native fast path. Under a mesh the data is sample-sharded over
@@ -109,7 +109,9 @@ class TrainerCore:
         With ``checkpoint_dir`` the TrainState is saved every
         ``checkpoint_every`` epochs and at the end; with ``logger``
         (utils.logging.MetricLogger) per-epoch metrics and images/sec stream
-        to JSONL.
+        to JSONL. ``scan_unroll`` > 1 unrolls that many scanned steps into
+        the loop body (equivalent up to float reassociation; see
+        make_epoch_fn).
 
         ``style_on_device=True`` (StyledDataset only) skips materializing the
         styled float32 copy entirely: each batch is corrupted ON THE FLY
@@ -143,11 +145,12 @@ class TrainerCore:
                         self.train_step.core, styles=train_ds.styles,
                         base_seed=train_ds.seed, mesh=self.mesh)
             else:
-                fkey = multi
+                fkey = (multi, scan_unroll)
                 if fkey not in self._epoch_fn:
                     make = S.make_multi_epoch_fn if multi else S.make_epoch_fn
                     self._epoch_fn[fkey] = make(self.train_step.core,
-                                                mesh=self.mesh)
+                                                mesh=self.mesh,
+                                                unroll=scan_unroll)
 
         if use_scan:
             style_args = ()

@@ -23,6 +23,8 @@ def main():
     p.add_argument("--size", type=int, default=28)
     p.add_argument("--z_dim", type=int, default=16)
     p.add_argument("--in_ch", type=int, default=1)
+    p.add_argument("--unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the inner step scan")
     args = p.parse_args()
 
     from clearvae_tpu.utils.cache import enable_compilation_cache
@@ -37,12 +39,12 @@ def main():
         for dname, dtype in [("f32", None), ("bf16", jnp.bfloat16)]:
             ips = bench.measure_config(
                 dtype=dtype, batch=b, z_dim=args.z_dim, size=args.size,
-                in_ch=args.in_ch, n_images=n_images,
+                in_ch=args.in_ch, n_images=n_images, unroll=args.unroll,
                 target_window_images=max(400_000, 4 * b * 64))
             fl = bench.clear_vae_train_flops_per_image(
                 z_dim=args.z_dim, batch=b, size=args.size, in_ch=args.in_ch)
             print(json.dumps({
-                "batch": b, "dtype": dname,
+                "batch": b, "dtype": dname, "unroll": args.unroll,
                 "images_per_sec_per_chip": round(ips, 1),
                 "mfu": round(ips * fl / bench.V5E_PEAK_FLOPS, 4),
             }), flush=True)

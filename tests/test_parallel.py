@@ -177,6 +177,40 @@ def test_epochs_per_scan_fuses_blocks():
         assert np.isfinite(mse)
 
 
+def test_scan_unroll_matches_unroll1():
+    """fit(scan_unroll=k) only unrolls loop bookkeeping — same gathers,
+    same step order — so the trained state must match the unroll=1 path up
+    to float reassociation (XLA fuses across unrolled bodies), in both the
+    single- and multi-epoch-per-scan programs. SGD keeps updates linear in
+    the gradients: a wrong batch order or dropped step would show as O(1)
+    divergence, while reassociation noise stays ~1e-6 (Adam's normalized
+    updates amplify it chaotically, so it can't pin this)."""
+    from clearvae_tpu.train.trainers import CLEARVAETrainer
+
+    ds = _tiny_ds()
+    hp = {"temperature": 0.1, "alpha": 100.0, "beta": 1 / 8, "ps": True}
+
+    def run(scan_unroll, epochs_per_scan):
+        t = CLEARVAETrainer(VAE(total_z_dim=16), optax.sgd(1e-3), "cosine",
+                            hp, seed=0)
+        t.state = t._init_state()
+        init = jax.device_get(t.state.params)
+        t.fit(3, ds, batch_size=16, epochs_per_scan=epochs_per_scan,
+              scan_unroll=scan_unroll)
+        return t.state, init
+
+    for eps in (1, 3):
+        (ref, init_params), (unrolled, _) = run(1, eps), run(2, eps)
+        assert int(ref.step) == int(unrolled.step) == 3 * (64 // 16)
+        moved = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                             jax.device_get(ref.params), init_params)
+        assert max(jax.tree.leaves(moved)) > 1e-4  # training actually moved
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4,
+                                                    atol=1e-6),
+            jax.device_get(ref.params), jax.device_get(unrolled.params))
+
+
 def test_custom_image_size_vae_trains_through_every_trainer():
     """Models carry image_size; a nonstandard-size VAE subclass must train
     through all four VAE trainers (VERDICT r1 item 8)."""

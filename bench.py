@@ -33,9 +33,10 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 BATCH = 128
 Z_DIM = 16
-# steps per timing window are sized so one window is ~1s of device time —
-# the final block_until_ready roundtrip through the remote-TPU tunnel
-# (~100ms) then amortizes away instead of dominating
+# Every config's target_window_images is sized so one timing window is
+# >=1.2s of device time AT THE MEASURED RATE of that config (bench_r3.json)
+# — the final block_until_ready roundtrip through the remote-TPU tunnel
+# (~100ms) then amortizes to <10% instead of biasing throughput down.
 N_IMAGES = 4096
 
 # TPU v5e (1 chip) peak: 197 TFLOP/s bf16 on the MXU (f32 matmuls decompose
@@ -148,7 +149,7 @@ def _make_state_and_step(kind: str, dtype, z_dim: int, size: int,
 
 def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
                    z_dim: int = Z_DIM, size: int = 28, in_ch: int = 1,
-                   target_window_images: int = 400_000, n_images: int = N_IMAGES,
+                   target_window_images: int = 1_200_000, n_images: int = N_IMAGES,
                    fused_heads: bool = False, unroll: int = 1):
     """Returns median images/sec/chip over 3 timing windows for one config.
 
@@ -278,19 +279,19 @@ EXTRA_CONFIGS = {
     # heads + decoder dense folded into one [flat, 2z] matmul
     "clear_28_fusedheads": (dict(fused_heads=True), dict()),
     "vae64_clear": (dict(z_dim=64, size=64, in_ch=3, n_images=2048,
-                         target_window_images=60_000),
+                         target_window_images=250_000),
                     dict(z_dim=64, size=64, in_ch=3)),
-    "clear_tc_28": (dict(kind="tc", target_window_images=300_000),
+    "clear_tc_28": (dict(kind="tc", target_window_images=1_000_000),
                     dict(variant="tc")),
-    "clear_mim_28": (dict(kind="mim", target_window_images=250_000),
+    "clear_mim_28": (dict(kind="mim", target_window_images=800_000),
                      dict(variant="mim")),
     "perf_mode_b2048_bf16": (dict(dtype="bf16", batch=2048, n_images=8192,
-                                  target_window_images=1_500_000),
+                                  target_window_images=2_500_000),
                              dict(batch=2048)),
     # best measured 28px config (round-3 scaling curve peak + fused heads)
     "perf_mode_b512_bf16_fusedheads": (
         dict(dtype="bf16", batch=512, fused_heads=True,
-             target_window_images=1_000_000),
+             target_window_images=2_000_000),
         dict(batch=512)),
 }
 

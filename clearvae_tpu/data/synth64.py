@@ -45,15 +45,6 @@ def _finish(img, size: int) -> np.ndarray:
     return np.clip(g, 0.0, 1.0)
 
 
-def _xy(pts, jitter, rng):
-    """Scale unit-square points to canvas coords with per-vertex noise."""
-    out = []
-    for x, y in pts:
-        out.append(((x + rng.uniform(-jitter, jitter)) * _SS,
-                    (y + rng.uniform(-jitter, jitter)) * _SS))
-    return out
-
-
 def _place(rng, size: int, base: float = 1.0):
     """Random pose: (scale, angle_deg, cx, cy) in canvas pixels."""
     s = base * size * rng.uniform(0.62, 0.95)
@@ -151,17 +142,6 @@ def style_posterize(g, rng):
     img = (0.08 + 0.9 * q)[..., None].repeat(3, -1)
     img[..., rng.randint(0, 3)] *= rng.uniform(0.45, 0.7)
     return np.clip(img, 0, 1).astype(np.float32)
-
-
-def style_stripes(g, rng):
-    """Content behind a dark occluding stripe raster + channel swap."""
-    img = (0.2 + 0.7 * g)[..., None].repeat(3, -1)
-    period = rng.randint(6, 9)
-    phase = rng.randint(0, period)
-    rows = (np.arange(g.shape[0]) + phase) % period < period // 2
-    img[rows] *= 0.12
-    perm = rng.permutation(3)
-    return np.clip(img[..., perm], 0, 1).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -10,8 +10,6 @@ batch 64, MLP probe 1 epoch; results JSON persisted incrementally per model.
 from __future__ import annotations
 
 import argparse
-import json
-import os
 
 import numpy as np
 
@@ -20,10 +18,9 @@ from clearvae_tpu.data.camelyon17 import (
     kcamelyon_train_test_split,
 )
 from clearvae_tpu.data.common import train_valid_split_array
-from clearvae_tpu.experiments.common import (experiment_helper, filter_models,
+from clearvae_tpu.experiments.common import (filter_models, run_model_zoo,
                                              save_results)
 from clearvae_tpu.experiments.downstream64 import model_zoo64
-from clearvae_tpu.train.trainers import SimpleCNNTrainer
 
 
 def get_args(argv=None):
@@ -61,33 +58,15 @@ def main(argv=None):
         model_zoo64(2, trainer_kwargs, seed, lam_coef=0.001,
                     tc_temperature=0.1), args.models)
 
-    # incremental persistence like the notebook (cell 9): reload existing
-    # results; finished models are skipped so a crashed run resumes cheaply
-    os.makedirs(args.out, exist_ok=True)
+    # incremental persistence like the notebook (cell 9): the results JSON
+    # is run_model_zoo's resume manifest — finished models are skipped, so
+    # a crashed run resumes cheaply
     fpath = f"{args.out}/camelyon17-k{args.k}-{seed}.json"
-    results = json.load(open(fpath)) if os.path.exists(fpath) else {}
-    for name, (factory, params) in models.items():
-        if name in results:
-            continue
-        print(f"\nTraining {name}:")
-        trainer = factory(**params)
-        if isinstance(trainer, SimpleCNNTrainer):
-            trainer.fit(args.cnn_epochs, train, valid,
-                        batch_size=args.batch_size)
-            (aupr, auroc), acc = trainer.evaluate(test,
-                                                  batch_size=args.batch_size)
-        else:
-            aupr, auroc, acc = experiment_helper(
-                train, valid, test, trainer, args.epochs,
-                batch_size=args.batch_size, n_class=2, probe_epochs=1)
-        results[name] = {
-            "acc": round(float(acc), 3),
-            "pr": {"overall": round(float(np.mean(list(aupr.values()))), 3),
-                   "stratified": {int(k): v for k, v in aupr.items()}},
-            "roc": {"overall": round(float(np.mean(list(auroc.values()))), 3),
-                    "stratified": {int(k): v for k, v in auroc.items()}},
-        }
-        save_results(results, fpath)
+    results = run_model_zoo(models, train, valid, test, args.epochs,
+                            batch_size=args.batch_size, n_class=2,
+                            probe_epochs=1, resume_path=fpath,
+                            cnn_epochs=args.cnn_epochs)
+    save_results(results, fpath)
 
 
 if __name__ == "__main__":

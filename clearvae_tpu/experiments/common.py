@@ -36,14 +36,17 @@ def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
                   probe_epochs: int | None = None,
                   resume_path: str | None = None,
                   epochs_per_scan: int = 1,
-                  style_on_device: bool = False) -> dict:
+                  style_on_device: bool = False,
+                  cnn_epochs: int | None = None) -> dict:
     """Train every (factory, params) entry and collect the reference's result
     schema: {model: {acc, pr: {overall, stratified}, roc: {...}}}
     (reference run_styledmnist_downstream_expr.py:190-216).
 
     With ``resume_path`` the results JSON doubles as a manifest: models
     already present are skipped and each finished model is persisted
-    immediately (the resumable-experiment pattern SURVEY §5 calls for)."""
+    immediately (the resumable-experiment pattern SURVEY §5 calls for).
+    ``cnn_epochs`` overrides ``epochs`` for the discriminative CNN zoo
+    entries (the Camelyon17 notebook trains CNNs 6 epochs vs VAEs 7)."""
     results = {}
     if resume_path and os.path.exists(resume_path):
         results = json.load(open(resume_path))
@@ -55,7 +58,8 @@ def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
         print(f"\nTraining {model_name}:")
         trainer = trainer_func(**params)
         if isinstance(trainer, SimpleCNNTrainer):
-            trainer.fit(epochs, train_ds, valid_ds, batch_size=batch_size,
+            trainer.fit(cnn_epochs if cnn_epochs is not None else epochs,
+                        train_ds, valid_ds, batch_size=batch_size,
                         epochs_per_scan=epochs_per_scan,
                         style_on_device=style_on_device)
             (aupr, auroc), acc = trainer.evaluate(test_ds,
@@ -96,6 +100,24 @@ def filter_models(models: dict, names) -> dict:
     return {k: v for k, v in models.items() if k in keep}
 
 
+def make_mig_cell(epochs: int, train, valid, test, batch_size: int):
+    """Standard ``evaluate_cell`` for :func:`run_mig_sweep`: fit, then
+    return (mig, elbo) on the test split. Hierarchical (MLVAE/GVAE)
+    trainers skip the evidence-accuracy pass — the sweep only consumes
+    mig/elbo. Shared by the MNIST and CelebA sweep runners."""
+    from clearvae_tpu.train.trainers import HierarchicalVAETrainer
+
+    def cell(name, get_trainer, beta):
+        trainer = get_trainer(beta)
+        trainer.fit(epochs, train, valid, batch_size=batch_size)
+        if isinstance(trainer, HierarchicalVAETrainer):
+            return trainer.evaluate(test, batch_size=batch_size,
+                                    with_evidence_acc=False)
+        return trainer.evaluate(test, batch_size=batch_size)
+
+    return cell
+
+
 def run_mig_sweep(models: dict, betas, fpath: str, evaluate_cell):
     """β×model MIG/ELBO sweep with the CSV as an incremental resume manifest.
 
@@ -116,7 +138,10 @@ def run_mig_sweep(models: dict, betas, fpath: str, evaluate_cell):
 
     def persist():
         os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
-        pd.DataFrame(rows)[cols].to_csv(fpath, index=False)
+        # columns= keeps the empty-rows frame schema'd (plain
+        # pd.DataFrame([])[cols] raises KeyError after e.g. a headers-only
+        # resume CSV combined with an empty beta/model grid)
+        pd.DataFrame(rows, columns=cols).to_csv(fpath, index=False)
 
     for beta in betas:
         print(f"==== BETA {beta} ====")
@@ -130,7 +155,7 @@ def run_mig_sweep(models: dict, betas, fpath: str, evaluate_cell):
                          "mig": mig, "elbo": elbo})
             persist()
     persist()
-    return pd.DataFrame(rows)[cols]
+    return pd.DataFrame(rows, columns=cols)
 
 
 def save_results(results: dict, fpath: str):

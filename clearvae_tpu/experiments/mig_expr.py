@@ -22,14 +22,14 @@ import numpy as np
 
 from clearvae_tpu.data.mnist import get_mnist
 from clearvae_tpu.data.styled import StyledDataset, make_styled_mnist
-from clearvae_tpu.experiments.common import run_mig_sweep
+from clearvae_tpu.experiments.common import (make_mig_cell,
+                                             run_mig_sweep)
 from clearvae_tpu.train.factories import (
     get_clearvae_trainer,
     get_cleartcvae_trainer,
     get_clearmimvae_trainer,
     get_hierarchical_vae_trainer,
 )
-from clearvae_tpu.train.trainers import HierarchicalVAETrainer
 
 STYLE_PROBS = {
     "identity": 0.15, "stripe": 0.2, "zigzag": 0.25, "canny_edges": 0.1,
@@ -108,14 +108,7 @@ def main(argv=None):
     fpath = (f"{args.out}/mig_elbo_s{args.seed}_a{args.alpha}"
              f"_z{args.z_dim}_t{args.temperature}.csv")
 
-    def cell(name, get_trainer, beta):
-        trainer = get_trainer(beta)
-        trainer.fit(args.epochs, train, valid, batch_size=args.batch_size)
-        if isinstance(trainer, HierarchicalVAETrainer):
-            return trainer.evaluate(test, batch_size=args.batch_size,
-                                    with_evidence_acc=False)
-        return trainer.evaluate(test, batch_size=args.batch_size)
-
+    cell = make_mig_cell(args.epochs, train, valid, test, args.batch_size)
     df = run_mig_sweep(models, betas, fpath, cell)
     print(f"wrote {fpath}")
     return df

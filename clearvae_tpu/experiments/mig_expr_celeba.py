@@ -13,14 +13,14 @@ import argparse
 import numpy as np
 
 from clearvae_tpu.data.celeba import get_celeba
-from clearvae_tpu.experiments.common import run_mig_sweep
+from clearvae_tpu.experiments.common import (make_mig_cell,
+                                             run_mig_sweep)
 from clearvae_tpu.train.factories import (
     get_clearvae_trainer,
     get_cleartcvae_trainer,
     get_clearmimvae_trainer,
     get_hierarchical_vae_trainer,
 )
-from clearvae_tpu.train.trainers import HierarchicalVAETrainer
 
 BETAS = [1 / 8]  # full sweep in the reference: [1/32 .. 8]
 
@@ -81,14 +81,7 @@ def main(argv=None):
     fpath = (f"{args.out}/mig_elbo_s{args.seed}_a{args.alpha}"
              f"_z{args.z_dim}_t{args.temperature}.csv")
 
-    def cell(name, mk, beta):
-        trainer = mk(beta)
-        trainer.fit(args.epochs, train, valid, batch_size=args.batch_size)
-        if isinstance(trainer, HierarchicalVAETrainer):
-            return trainer.evaluate(test, batch_size=args.batch_size,
-                                    with_evidence_acc=False)
-        return trainer.evaluate(test, batch_size=args.batch_size)
-
+    cell = make_mig_cell(args.epochs, train, valid, test, args.batch_size)
     df = run_mig_sweep(models, betas, fpath, cell)
     print(f"wrote {fpath}")
     return df

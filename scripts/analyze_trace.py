@@ -27,8 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 CATEGORIES = [
-    # (name, predicate over (type, operation) lowercased)
-    ("conv", lambda t, o: "conv" in t or "convolution" in o),
+    # (name, predicate over (type, operation) lowercased).  NB the conv
+    # predicate must not swallow type "convert" (dtype casts — abundant in
+    # bf16 traces) via the "conv" substring; casts belong to elementwise.
+    ("conv", lambda t, o: ("conv" in t and t != "convert")
+        or "convolution" in o),
     ("batchnorm", lambda t, o: "batchnorm" in o or "batch_norm" in o
         or "/bn" in o),
     ("dense/matmul", lambda t, o: "dot" in t or "dot_general" in o
@@ -99,7 +102,7 @@ def analyze(trace_dir: str):
     paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
     if not paths:
         raise SystemExit(f"no xplane.pb under {trace_dir}")
-    paths = [max(paths)]  # latest run
+    paths = [max(paths, key=os.path.getmtime)]  # latest run (by mtime)
     raw, _ = r.xspace_to_tool_data(paths, "framework_op_stats", {})
     out = json.loads(raw.decode() if isinstance(raw, bytes) else raw)
     tbl = out[0] if isinstance(out, list) else out

@@ -40,7 +40,8 @@ def main():
             ips = bench.measure_config(
                 dtype=dtype, batch=b, z_dim=args.z_dim, size=args.size,
                 in_ch=args.in_ch, n_images=n_images, unroll=args.unroll,
-                target_window_images=max(400_000, 4 * b * 64))
+                # >=1.2s of device time even at ~2M img/s (bf16 large-batch)
+                target_window_images=2_500_000)
             fl = bench.clear_vae_train_flops_per_image(
                 z_dim=args.z_dim, batch=b, size=args.size, in_ch=args.in_ch)
             print(json.dumps({

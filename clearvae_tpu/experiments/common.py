@@ -25,9 +25,12 @@ def experiment_helper(train_ds, valid_ds, test_ds, vae_trainer, epochs: int,
                     epochs_per_scan=epochs_per_scan,
                     style_on_device=style_on_device)
     probe = DownstreamMLPTrainer(vae_trainer, n_class=n_class, lr=probe_lr)
+    # style_on_device extends through the probe and test evaluation: the
+    # fused style+encode pass keeps the styled pixels device-only end to end
     probe.fit(probe_epochs or epochs, train_ds, valid_ds,
-              batch_size=batch_size)
-    (aupr, auroc), acc = probe.evaluate(test_ds, batch_size=batch_size)
+              batch_size=batch_size, style_on_device=style_on_device)
+    (aupr, auroc), acc = probe.evaluate(test_ds, batch_size=batch_size,
+                                        style_on_device=style_on_device)
     return aupr, auroc, acc
 
 

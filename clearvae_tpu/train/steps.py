@@ -573,6 +573,20 @@ def make_probe_logits_fn(vae_model, mlp):
     return logits_fn
 
 
+def make_probe_feature_logits_fn(mlp):
+    """Probe logits from PRE-COMPUTED mu_c features (the style-on-device
+    eval path: features come from the fused style+encode pass, so the
+    styled pixels never exist host-side)."""
+
+    @jax.jit
+    def logits_fn(mlp_state: TrainState, feats):
+        return mlp.apply({"params": mlp_state.params,
+                          "batch_stats": mlp_state.batch_stats}, feats,
+                         train=False)
+
+    return logits_fn
+
+
 # ---------------------------------------------------------------------------
 # Whole-epoch runner: lax.scan over HBM-resident batches
 # ---------------------------------------------------------------------------
@@ -733,14 +747,15 @@ def make_probe_feature_step(mlp, tx):
 
 
 def make_styled_epoch_fn(step_core, styles=None, base_seed: int = 0,
-                         mesh=None):
+                         mesh=None, unroll: int = 1):
     """Epoch runner that styles each batch ON THE FLY inside the scan body.
 
     Takes RAW images (0..255, [N, H, W]) + per-sample style indices +
     absolute sample ids; corruption keys are fold_in(base, sample_id), so the
     styled pixels are bit-identical to StyledDataset.materialize() while only
     the raw uint8-scale data needs to stay resident. Use when the dataset is
-    too large to keep a styled float32 copy in HBM.
+    too large to keep a styled float32 copy in HBM. ``unroll`` as in
+    :func:`make_epoch_fn`.
     """
     from clearvae_tpu.ops.corruptions import EXPERIMENT_STYLES, make_style_fn
 
@@ -764,7 +779,8 @@ def make_styled_epoch_fn(step_core, styles=None, base_seed: int = 0,
             st, metrics = step_core(st, xb[..., None], lb, k)
             return st, metrics
 
-        state, ms = jax.lax.scan(body, state, (batch_idx, keys))
+        state, ms = jax.lax.scan(body, state, (batch_idx, keys),
+                                 unroll=unroll)
         return state, ms
 
     return epoch_fn

@@ -139,11 +139,12 @@ class TrainerCore:
             if not isinstance(self._epoch_fn, dict):
                 self._epoch_fn = {}
             if styled_path:
-                fkey = ("styled", train_ds.styles, train_ds.seed)
+                fkey = ("styled", train_ds.styles, train_ds.seed, scan_unroll)
                 if fkey not in self._epoch_fn:
                     self._epoch_fn[fkey] = S.make_styled_epoch_fn(
                         self.train_step.core, styles=train_ds.styles,
-                        base_seed=train_ds.seed, mesh=self.mesh)
+                        base_seed=train_ds.seed, mesh=self.mesh,
+                        unroll=scan_unroll)
             else:
                 fkey = (multi, scan_unroll)
                 if fkey not in self._epoch_fn:
@@ -561,18 +562,65 @@ class DownstreamMLPTrainer:
         self._feat_step = S.make_probe_feature_step(self.mlp, self.tx)
         self._feat_epochs_fn = S.make_probe_feature_epochs_fn(self.mlp,
                                                               self.tx)
+        self._feat_logits_fn = S.make_probe_feature_logits_fn(self.mlp)
+        self._styled_enc = {}  # styles tuple -> fused style+encode program
 
     def _next_rng(self):
         self._rng, k = jax.random.split(self._rng)
         return k
 
-    def _encode_all(self, ds, batch_size: int = 512):
+    def _styled_encode_fn(self, styles):
+        """Fused style→encode program (one per style set): the styled pixels
+        exist only inside the program, mirroring make_styled_epoch_fn."""
+        if styles not in self._styled_enc:
+            from clearvae_tpu.ops.corruptions import make_style_fn
+
+            style_fn = make_style_fn(styles)
+            model = self.vae_model
+
+            @jax.jit
+            def enc(params, batch_stats, raw, style_idx, sample_ids, base):
+                ck = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+                    sample_ids)
+                x = jax.vmap(style_fn)(raw, style_idx, ck) / 255.0
+                return model.apply({"params": params,
+                                    "batch_stats": batch_stats},
+                                   x[..., None], train=False,
+                                   method="encode")[0]
+
+            self._styled_enc[styles] = enc
+        return self._styled_enc[styles]
+
+    def _encode_all(self, ds, batch_size: int = 512,
+                    style_on_device: bool = False):
         """One pass of the frozen eval-mode encoder over a dataset → mu_c.
 
         The reference re-encodes every batch every epoch through the frozen
         VAE (trainer.py:126); since eval-mode encode is deterministic this is
-        numerically identical and ~epochs× cheaper."""
+        numerically identical and ~epochs× cheaper.
+
+        With ``style_on_device`` (StyledDataset only) each padded chunk is
+        styled INSIDE the encode program — same fold_in(seed, sample_id)
+        corruption keys as materialize(), so the features are identical, but
+        no styled float32 copy is ever built host-side (completes the
+        no-materialization path: VAE training, probe, and eval all style on
+        the fly)."""
         vs = self.vae_trainer.state
+        if style_on_device:
+            enc = self._styled_encode_fn(ds.styles)
+            base = jax.random.key(ds.seed)
+            feats = []
+            n = len(ds)
+            for s in range(0, n, batch_size):
+                e = min(n, s + batch_size)
+                pad = batch_size - (e - s)
+                xs = np.pad(ds.images[s:e], ((0, pad), (0, 0), (0, 0)))
+                ix = np.pad(ds.style_idx[s:e], (0, pad))
+                si = np.pad(ds.sample_ids[s:e], (0, pad))
+                mu = enc(vs.params, vs.batch_stats, jnp.asarray(xs),
+                         jnp.asarray(ix), jnp.asarray(si), base)
+                feats.append(np.asarray(mu)[: e - s])
+            return np.concatenate(feats), np.asarray(ds.labels)
         feats, labels = [], []
         for batch in ds.batches(batch_size, shuffle=False):
             mu_c = self.vae_model.apply(
@@ -583,10 +631,15 @@ class DownstreamMLPTrainer:
         return np.concatenate(feats), np.concatenate(labels)
 
     def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
-            cache_features: bool = True):
+            cache_features: bool = True, style_on_device: bool = False):
         vs = self.vae_trainer.state
+        if style_on_device and not cache_features:
+            raise ValueError("style_on_device probe training requires "
+                             "cache_features=True (the cached-feature path "
+                             "is where the fused style+encode pass runs)")
         if cache_features:
-            feats, labels = self._encode_all(train_ds)
+            feats, labels = self._encode_all(
+                train_ds, style_on_device=style_on_device)
             feats_j, labels_j = jnp.asarray(feats), jnp.asarray(labels)
             n = len(labels)
             bs = min(batch_size, n)
@@ -611,7 +664,9 @@ class DownstreamMLPTrainer:
                                                      labels_j, bi)
                 epoch += e
                 if valid_ds is not None and epoch < epochs:
-                    (aupr, auroc), acc = self.evaluate(valid_ds, batch_size)
+                    (aupr, auroc), acc = self.evaluate(
+                        valid_ds, batch_size,
+                        style_on_device=style_on_device)
                     print(f"probe epoch {epoch - 1}: acc={round(acc, 3)}")
             return
         for epoch in range(epochs):
@@ -624,8 +679,14 @@ class DownstreamMLPTrainer:
                 (aupr, auroc), acc = self.evaluate(valid_ds, batch_size)
                 print(f"probe epoch {epoch}: acc={round(acc, 3)}")
 
-    def evaluate(self, ds, batch_size: int = 128):
+    def evaluate(self, ds, batch_size: int = 128,
+                 style_on_device: bool = False):
         vs = self.vae_trainer.state
+        if style_on_device:
+            feats, y = self._encode_all(ds, style_on_device=True)
+            logits = np.asarray(self._feat_logits_fn(self.state,
+                                                     jnp.asarray(feats)))
+            return MT.auc(logits, y), MT.accuracy(logits, y)
         all_logits, all_y = [], []
         for batch in ds.batches(batch_size, shuffle=False):
             x = jnp.asarray(batch[0])

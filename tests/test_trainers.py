@@ -121,6 +121,29 @@ def test_cnn_and_lam(data):
     l.fit(1, tr, batch_size=32)
 
 
+def test_probe_style_on_device_matches_materialized(data):
+    """The fused style+encode probe path must produce the same features as
+    encoding the materialized styled pixels (same fold_in(seed, sample_id)
+    corruption keys; only XLA fusion differs, so parity is to float
+    reassociation tolerance), and the styled evaluate must run end to end
+    without ever materializing."""
+    tr, va = data
+    t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,
+                             alpha=100.0, temperature=0.1)
+    t.fit(1, tr, batch_size=32, style_on_device=True)
+    probe = DownstreamMLPTrainer(t, n_class=10)
+    fa, la = probe._encode_all(tr)                        # materialized
+    fb, lb = probe._encode_all(tr, style_on_device=True)  # fused program
+    np.testing.assert_array_equal(la, lb)
+    np.testing.assert_allclose(fa, fb, rtol=1e-4, atol=2e-5)
+    probe.fit(2, tr, batch_size=32, style_on_device=True)
+    (aupr, auroc), acc = probe.evaluate(va, batch_size=32,
+                                        style_on_device=True)
+    assert 0 <= acc <= 1 and np.isfinite(acc)
+    with pytest.raises(ValueError):
+        probe.fit(1, tr, cache_features=False, style_on_device=True)
+
+
 def test_probe_on_frozen_vae(data):
     tr, va = data
     t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,

@@ -91,7 +91,7 @@ def clear_vae_train_flops_per_image(z_dim: int = Z_DIM, batch: int = BATCH,
     macs = 3 * fwd                           # fwd + bwd(≈2×fwd)
     if variant == "tc":
         z = z_dim
-        macs += fwd + 3 * 2 * (z * z + z) * 2   # fresh fwd + disc step (2×[B,2z]→1)
+        macs += fwd + 3 * 2 * (z * z + z)   # fresh fwd + disc step (2×[B,2z]→1)
     elif variant == "mim":
         zh, hidden = z_dim // 2, z_dim
         est = 2 * (zh * hidden + hidden * zh)   # p_mu + p_logvar MLPs

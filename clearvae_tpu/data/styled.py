@@ -30,6 +30,20 @@ from clearvae_tpu.ops.corruptions import EXPERIMENT_STYLES
 import functools
 
 
+def style_batch(style_fn, x, style_idx, sample_ids, base):
+    """THE corruption-key protocol, single source of truth: per-sample key =
+    fold_in(base, absolute sample id), then the style kernel, then the
+    reference's /255 normalization (run_styledmnist_downstream_expr.py:80).
+
+    Every on-device styling path composes this same traced function —
+    ``StyledDataset.materialize``, the scanned styled train step
+    (``train.steps.make_styled_epoch_fn``), and the probe's fused
+    style+encode pass — which is what makes their pixels bit-identical.
+    """
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(sample_ids)
+    return jax.vmap(style_fn)(x, style_idx, keys) / 255.0
+
+
 @functools.lru_cache(maxsize=None)
 def _styling_program(styles: tuple):
     """One jitted styling program per style set — traced once per process,
@@ -37,13 +51,7 @@ def _styling_program(styles: tuple):
     from clearvae_tpu.ops.corruptions import make_style_fn
 
     style_fn = make_style_fn(styles)
-
-    @jax.jit
-    def style_chunk(x, idx, sids, base):
-        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(sids)
-        return jax.vmap(style_fn)(x, idx, keys) / 255.0
-
-    return style_chunk
+    return jax.jit(functools.partial(style_batch, style_fn))
 
 
 def random_style_distribution(styles: Sequence[str], seed: int | None = None) -> dict:
@@ -90,6 +98,25 @@ class StyledDataset:
     def __len__(self):
         return len(self.labels)
 
+    def chunked_apply(self, fn, device_batch: int = 512) -> np.ndarray:
+        """Run a jitted ``fn(raw, style_idx, sample_ids, base_key)`` over the
+        dataset in fixed-size zero-padded chunks (one trace) and concatenate
+        the unpadded results host-side. The chunk protocol every on-device
+        styling consumer shares (materialize, the probe's fused
+        style+encode)."""
+        base = jax.random.key(self.seed)
+        outs = []
+        for s in range(0, len(self), device_batch):
+            e = min(s + device_batch, len(self))
+            pad = device_batch - (e - s)
+            xs = np.pad(self.images[s:e], ((0, pad), (0, 0), (0, 0)))
+            ix = np.pad(self.style_idx[s:e], (0, pad))
+            si = np.pad(self.sample_ids[s:e], (0, pad))
+            out = np.asarray(fn(jnp.asarray(xs), jnp.asarray(ix),
+                                jnp.asarray(si), base))
+            outs.append(out[: e - s])
+        return np.concatenate(outs, axis=0)
+
     def materialize(self, device_batch: int = 512) -> np.ndarray:
         """Style the whole dataset on device once (chunked), cache host-side.
 
@@ -98,19 +125,8 @@ class StyledDataset:
         fold_in(seed, absolute sample id) — chunking-invariant.
         """
         if self._styled_cache is None:
-            style_chunk = _styling_program(self.styles)
-            base = jax.random.key(self.seed)
-            outs = []
-            for s in range(0, len(self), device_batch):
-                e = min(s + device_batch, len(self))
-                pad = device_batch - (e - s)
-                xs = np.pad(self.images[s:e], ((0, pad), (0, 0), (0, 0)))
-                ix = np.pad(self.style_idx[s:e], (0, pad))
-                si = np.pad(self.sample_ids[s:e], (0, pad))
-                out = np.asarray(style_chunk(jnp.asarray(xs), jnp.asarray(ix),
-                                             jnp.asarray(si), base))
-                outs.append(out[: e - s])
-            self._styled_cache = np.concatenate(outs, axis=0)
+            self._styled_cache = self.chunked_apply(
+                _styling_program(self.styles), device_batch)
         return self._styled_cache
 
     def batches(self, batch_size: int, *, shuffle: bool, seed: int = 0,

@@ -65,8 +65,9 @@ def run_model_zoo(models: dict, train_ds, valid_ds, test_ds, epochs: int,
                         train_ds, valid_ds, batch_size=batch_size,
                         epochs_per_scan=epochs_per_scan,
                         style_on_device=style_on_device)
-            (aupr, auroc), acc = trainer.evaluate(test_ds,
-                                                  batch_size=batch_size)
+            (aupr, auroc), acc = trainer.evaluate(
+                test_ds, batch_size=batch_size,
+                style_on_device=style_on_device)
         else:
             aupr, auroc, acc = experiment_helper(
                 train_ds, valid_ds, test_ds, trainer, epochs,
@@ -143,8 +144,12 @@ def run_mig_sweep(models: dict, betas, fpath: str, evaluate_cell):
         os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
         # columns= keeps the empty-rows frame schema'd (plain
         # pd.DataFrame([])[cols] raises KeyError after e.g. a headers-only
-        # resume CSV combined with an empty beta/model grid)
-        pd.DataFrame(rows, columns=cols).to_csv(fpath, index=False)
+        # resume CSV combined with an empty beta/model grid).
+        # Write-temp-then-rename: a crash mid-write must not corrupt the
+        # resume manifest itself.
+        tmp = fpath + ".tmp"
+        pd.DataFrame(rows, columns=cols).to_csv(tmp, index=False)
+        os.replace(tmp, fpath)
 
     for beta in betas:
         print(f"==== BETA {beta} ====")
@@ -163,6 +168,9 @@ def run_mig_sweep(models: dict, betas, fpath: str, evaluate_cell):
 
 def save_results(results: dict, fpath: str):
     os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
-    with open(fpath, "w") as f:
+    # atomic: this JSON doubles as the zoo's resume manifest
+    tmp = fpath + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(results, f, indent=4)
+    os.replace(tmp, fpath)
     print(f"wrote {fpath}")

@@ -757,6 +757,7 @@ def make_styled_epoch_fn(step_core, styles=None, base_seed: int = 0,
     too large to keep a styled float32 copy in HBM. ``unroll`` as in
     :func:`make_epoch_fn`.
     """
+    from clearvae_tpu.data.styled import style_batch
     from clearvae_tpu.ops.corruptions import EXPERIMENT_STYLES, make_style_fn
 
     style_fn = make_style_fn(styles or EXPERIMENT_STYLES)
@@ -774,8 +775,7 @@ def make_styled_epoch_fn(step_core, styles=None, base_seed: int = 0,
                                        jnp.take(style_idx, idx, axis=0),
                                        jnp.take(sample_ids, idx, axis=0),
                                        jnp.take(labels, idx, axis=0))
-            ck = jax.vmap(lambda i: jax.random.fold_in(base, i))(ib)
-            xb = jax.vmap(style_fn)(xb, sb, ck) / 255.0
+            xb = style_batch(style_fn, xb, sb, ib, base)
             st, metrics = step_core(st, xb[..., None], lb, k)
             return st, metrics
 
@@ -802,6 +802,40 @@ def make_eval_epoch_fn(eval_step, mesh=None):
             xb, lb = constrain(jnp.take(data, idx, axis=0),
                                jnp.take(labels, idx, axis=0))
             out = eval_step(state, xb, lb, k)
+            return None, out
+
+        _, outs = jax.lax.scan(body, None, (batch_idx, keys))
+        return outs
+
+    return eval_epoch
+
+
+def make_styled_eval_epoch_fn(eval_step, styles=None, base_seed: int = 0,
+                              mesh=None):
+    """Eval twin of :func:`make_styled_epoch_fn`: styles each batch on the
+    fly inside the scanned eval program (same fold_in(base, sample_id) keys
+    as materialize(), so metrics are identical to the materialized path)
+    while only the raw 0..255 images stay resident."""
+    from clearvae_tpu.data.styled import style_batch
+    from clearvae_tpu.ops.corruptions import EXPERIMENT_STYLES, make_style_fn
+
+    style_fn = make_style_fn(styles or EXPERIMENT_STYLES)
+    constrain = _batch_constrainer(mesh)
+
+    @jax.jit
+    def eval_epoch(state: TrainState, raw, labels, style_idx, sample_ids,
+                   batch_idx, rng):
+        base = jax.random.key(base_seed)
+        keys = jax.random.split(rng, batch_idx.shape[0])
+
+        def body(_, inp):
+            idx, k = inp
+            xb, sb, ib, lb = constrain(jnp.take(raw, idx, axis=0),
+                                       jnp.take(style_idx, idx, axis=0),
+                                       jnp.take(sample_ids, idx, axis=0),
+                                       jnp.take(labels, idx, axis=0))
+            xb = style_batch(style_fn, xb, sb, ib, base)
+            out = eval_step(state, xb[..., None], lb, k)
             return None, out
 
         _, outs = jax.lax.scan(body, None, (batch_idx, keys))

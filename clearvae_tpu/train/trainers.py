@@ -217,7 +217,10 @@ class TrainerCore:
                 vals = {k: round(float(v), 3) for k, v in last.items()}
                 print(f"epoch {end - 1}: {vals}")
             if valid_ds is not None and verbose:
-                self._verbose_valid(valid_ds, batch_size)
+                self._verbose_valid(
+                    valid_ds, batch_size,
+                    style_on_device=(style_on_device and
+                                     hasattr(valid_ds, "chunked_apply")))
             if checkpoint_dir and (any((e + 1) % checkpoint_every == 0
                                        for e in range(epoch, end))
                                    or end == epochs):
@@ -232,7 +235,7 @@ class TrainerCore:
     def _fit_result(self):
         return None
 
-    def _verbose_valid(self, valid_ds, batch_size):
+    def _verbose_valid(self, valid_ds, batch_size, style_on_device=False):
         raise NotImplementedError
 
 
@@ -248,8 +251,9 @@ class VAETrainerBase(TrainerCore):
             mig_backend = "native" if available() else "numpy"
         self.mig_backend = mig_backend
 
-    def _verbose_valid(self, valid_ds, batch_size):
-        mig, mse = self.evaluate(valid_ds, batch_size=batch_size)
+    def _verbose_valid(self, valid_ds, batch_size, style_on_device=False):
+        mig, mse = self.evaluate(valid_ds, batch_size=batch_size,
+                                 style_on_device=style_on_device)
         print(f"gMIG: {round(mig, 3)}; mse: {round(float(mse), 3)}")
 
     def _vae_init(self, aux_model=None, aux_tx=None, aux_shapes=None):
@@ -260,15 +264,23 @@ class VAETrainerBase(TrainerCore):
                                 aux_model=aux_model, aux_tx=aux_tx,
                                 aux_shapes=aux_shapes)
 
-    def evaluate(self, ds, batch_size: int = 128, use_scan: bool | None = None):
+    def evaluate(self, ds, batch_size: int = 128, use_scan: bool | None = None,
+                 style_on_device: bool = False):
         """gMIG + reconstruction MSE over the dataset
         (reference evaluate, trainer.py:495-570).
 
         The scan path runs all full batches in ONE XLA program; the ragged
         tail (reference keeps it, per-batch mean semantics) is evaluated
-        separately."""
+        separately. ``style_on_device`` (StyledDataset only) styles each
+        batch inside the scanned eval program — identical metrics, no styled
+        float32 copy host-side (closes the no-materialization path for
+        in-fit validation and final eval)."""
         if use_scan is None:
             use_scan = True
+        if style_on_device and not (use_scan and hasattr(ds, "chunked_apply")):
+            raise ValueError("style_on_device evaluation requires the "
+                             "scanned path and a StyledDataset; got "
+                             f"{type(ds).__name__}")
         totals: dict = {}
         labels, z_cs, z_ss = [], [], []
         n_batches = 0
@@ -286,31 +298,56 @@ class VAETrainerBase(TrainerCore):
 
         if use_scan:
             # cache one scanned program per eval_step (Hierarchical swaps
-            # eval steps for with_evidence_acc)
-            key = id(self.eval_step)
-            if key not in self._eval_epoch_fns:
-                self._eval_epoch_fns[key] = S.make_eval_epoch_fn(
-                    self.eval_step, mesh=self.mesh)
-            self._eval_epoch_fn = self._eval_epoch_fns[key]
-            if hasattr(ds, "materialize"):
-                data = jnp.asarray(ds.materialize()[..., None])
+            # eval steps for with_evidence_acc) — and per styling config on
+            # the styled path
+            style_args = ()
+            if style_on_device:
+                key = (id(self.eval_step), "styled", ds.styles, ds.seed)
+                if key not in self._eval_epoch_fns:
+                    self._eval_epoch_fns[key] = S.make_styled_eval_epoch_fn(
+                        self.eval_step, styles=ds.styles, base_seed=ds.seed,
+                        mesh=self.mesh)
+                data = jnp.asarray(ds.images)  # raw 0..255, styled in-program
+                style_args = (jnp.asarray(ds.style_idx),
+                              jnp.asarray(ds.sample_ids))
             else:
-                data = jnp.asarray(ds.images)
+                key = id(self.eval_step)
+                if key not in self._eval_epoch_fns:
+                    self._eval_epoch_fns[key] = S.make_eval_epoch_fn(
+                        self.eval_step, mesh=self.mesh)
+                if hasattr(ds, "materialize"):
+                    data = jnp.asarray(ds.materialize()[..., None])
+                else:
+                    data = jnp.asarray(ds.images)
+            self._eval_epoch_fn = self._eval_epoch_fns[key]
             lbls = jnp.asarray(ds.labels)
             n = len(ds)
             if self.mesh is not None and n % data_axis_size(self.mesh) == 0:
-                data, lbls = shard_batch(self.mesh, data, lbls)
+                data, lbls, *style_args = shard_batch(self.mesh, data, lbls,
+                                                      *style_args)
             bs = min(batch_size, n)
             nb = n // bs
             if nb > 0:
                 batch_idx = jnp.asarray(np.arange(nb * bs).reshape(nb, bs))
-                outs = self._eval_epoch_fn(self.state, data, lbls, batch_idx,
+                outs = self._eval_epoch_fn(self.state, data, lbls,
+                                           *style_args, batch_idx,
                                            self._next_rng())
                 accumulate(outs, np.asarray(ds.labels[: nb * bs]), weight=nb)
             if n > nb * bs:  # ragged tail, one direct call
                 sel = np.arange(nb * bs, n)
-                out = self.eval_step(self.state, data[sel], lbls[sel],
-                                     self._next_rng())
+                if style_on_device:
+                    from clearvae_tpu.data.styled import _styling_program
+                    xt = _styling_program(ds.styles)(
+                        jnp.asarray(ds.images[sel]),
+                        jnp.asarray(ds.style_idx[sel]),
+                        jnp.asarray(ds.sample_ids[sel]),
+                        jax.random.key(ds.seed))[..., None]
+                    out = self.eval_step(self.state, xt,
+                                         jnp.asarray(ds.labels[sel]),
+                                         self._next_rng())
+                else:
+                    out = self.eval_step(self.state, data[sel], lbls[sel],
+                                         self._next_rng())
                 accumulate(out, ds.labels[sel])
         else:
             for batch in ds.batches(batch_size, shuffle=False):
@@ -389,15 +426,18 @@ class HierarchicalVAETrainer(VAETrainerBase):
         self.eval_step = self._eval_steps[eval_evidence_acc]
 
     def evaluate(self, ds, batch_size: int = 128,
-                 with_evidence_acc: bool | None = None):
+                 with_evidence_acc: bool | None = None,
+                 style_on_device: bool = False):
         """(reference evaluate(..., with_evidence_acc), trainer.py:366-412)."""
         if with_evidence_acc is not None:
             prev, self.eval_step = self.eval_step, self._eval_steps[with_evidence_acc]
             try:
-                return super().evaluate(ds, batch_size)
+                return super().evaluate(ds, batch_size,
+                                        style_on_device=style_on_device)
             finally:
                 self.eval_step = prev
-        return super().evaluate(ds, batch_size)
+        return super().evaluate(ds, batch_size,
+                                style_on_device=style_on_device)
 
     def _init_state(self):
         return self._vae_init()
@@ -505,13 +545,55 @@ class SimpleCNNTrainer(TrainerCore):
 
         return jax.jit(build)(self._next_rng())
 
-    def _verbose_valid(self, valid_ds, batch_size):
-        (aupr, auroc), acc = self.evaluate(valid_ds, batch_size)
+    def _verbose_valid(self, valid_ds, batch_size, style_on_device=False):
+        (aupr, auroc), acc = self.evaluate(valid_ds, batch_size,
+                                           style_on_device=style_on_device)
         print("val_aupr:", aupr, "val_auroc:", auroc, "val_acc:",
               round(acc, 3))
 
-    def evaluate(self, ds, batch_size: int = 128):
-        """((AUPR dict, AUROC dict), accuracy) — reference trainer.py:215-232."""
+    def _styled_logits_fn(self, styles):
+        """Fused style→logits program (one per style set): the styled pixels
+        exist only inside the program, mirroring the probe's fused
+        style+encode pass."""
+        if not hasattr(self, "_styled_logits"):
+            self._styled_logits = {}
+        if styles not in self._styled_logits:
+            from clearvae_tpu.data.styled import style_batch
+            from clearvae_tpu.ops.corruptions import make_style_fn
+
+            style_fn = make_style_fn(styles)
+            model = self.model
+
+            @jax.jit
+            def fn(params, batch_stats, raw, style_idx, sample_ids, base):
+                x = style_batch(style_fn, raw, style_idx, sample_ids, base)
+                return model.apply({"params": params,
+                                    "batch_stats": batch_stats},
+                                   x[..., None], train=False)
+
+            self._styled_logits[styles] = fn
+        return self._styled_logits[styles]
+
+    def evaluate(self, ds, batch_size: int = 128,
+                 style_on_device: bool = False):
+        """((AUPR dict, AUROC dict), accuracy) — reference trainer.py:215-232.
+
+        ``style_on_device`` (StyledDataset only): logits come from a fused
+        style→forward program over padded chunks — identical metrics, no
+        styled float32 test copy host-side."""
+        if style_on_device:
+            if not hasattr(ds, "chunked_apply"):
+                raise ValueError(
+                    "style_on_device requires a StyledDataset carrying raw "
+                    f"images + style indices; got {type(ds).__name__}")
+            fn = self._styled_logits_fn(ds.styles)
+            st = self.state
+            logits = ds.chunked_apply(
+                lambda xs, ix, si, base: fn(st.params, st.batch_stats,
+                                            xs, ix, si, base),
+                device_batch=batch_size)
+            y = np.asarray(ds.labels)
+            return MT.auc(logits, y), MT.accuracy(logits, y)
         all_logits, all_y = [], []
         for batch in ds.batches(batch_size, shuffle=False):
             x = jnp.asarray(batch[0])
@@ -573,6 +655,7 @@ class DownstreamMLPTrainer:
         """Fused style→encode program (one per style set): the styled pixels
         exist only inside the program, mirroring make_styled_epoch_fn."""
         if styles not in self._styled_enc:
+            from clearvae_tpu.data.styled import style_batch
             from clearvae_tpu.ops.corruptions import make_style_fn
 
             style_fn = make_style_fn(styles)
@@ -580,9 +663,7 @@ class DownstreamMLPTrainer:
 
             @jax.jit
             def enc(params, batch_stats, raw, style_idx, sample_ids, base):
-                ck = jax.vmap(lambda i: jax.random.fold_in(base, i))(
-                    sample_ids)
-                x = jax.vmap(style_fn)(raw, style_idx, ck) / 255.0
+                x = style_batch(style_fn, raw, style_idx, sample_ids, base)
                 return model.apply({"params": params,
                                     "batch_stats": batch_stats},
                                    x[..., None], train=False,
@@ -607,20 +688,16 @@ class DownstreamMLPTrainer:
         the fly)."""
         vs = self.vae_trainer.state
         if style_on_device:
+            if not hasattr(ds, "chunked_apply"):
+                raise ValueError(
+                    "style_on_device requires a StyledDataset carrying raw "
+                    f"images + style indices; got {type(ds).__name__}")
             enc = self._styled_encode_fn(ds.styles)
-            base = jax.random.key(ds.seed)
-            feats = []
-            n = len(ds)
-            for s in range(0, n, batch_size):
-                e = min(n, s + batch_size)
-                pad = batch_size - (e - s)
-                xs = np.pad(ds.images[s:e], ((0, pad), (0, 0), (0, 0)))
-                ix = np.pad(ds.style_idx[s:e], (0, pad))
-                si = np.pad(ds.sample_ids[s:e], (0, pad))
-                mu = enc(vs.params, vs.batch_stats, jnp.asarray(xs),
-                         jnp.asarray(ix), jnp.asarray(si), base)
-                feats.append(np.asarray(mu)[: e - s])
-            return np.concatenate(feats), np.asarray(ds.labels)
+            feats = ds.chunked_apply(
+                lambda xs, ix, si, base: enc(vs.params, vs.batch_stats,
+                                             xs, ix, si, base),
+                device_batch=batch_size)
+            return feats, np.asarray(ds.labels)
         feats, labels = [], []
         for batch in ds.batches(batch_size, shuffle=False):
             mu_c = self.vae_model.apply(
@@ -652,7 +729,10 @@ class DownstreamMLPTrainer:
             # the whole probe training (or each verbose block) is ONE XLA
             # dispatch — the per-batch math is tiny [B, z] MLP steps, so the
             # eager loop was pure tunnel-dispatch latency (~12k round-trips
-            # for the reference 41-epoch probe)
+            # for the reference 41-epoch probe). A ragged final block (e.g.
+            # 41 epochs at period 10 -> blocks 10,10,10,10,1) adds a second
+            # program shape; both shapes repeat identically across a model
+            # zoo, so the persistent XLA cache absorbs the recompiles.
             block = (epochs if valid_ds is None
                      else max(1, int(self.verbose_period)))
             epoch = 0

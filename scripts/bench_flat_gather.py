@@ -98,14 +98,27 @@ def main():
         st = jax.tree.map(jnp.copy, state0)
         st, loss = fn(st, data, labels, idx, jax.random.key(0))
         jax.block_until_ready(loss)
-        ts = []
-        for w in range(3):
-            st, loss = fn(st, data, labels, idx, jax.random.key(1 + w))
+        # window = enough repeat dispatches of the k-step program that the
+        # measured span is >=1s of device time (CLAUDE.md invariant; the
+        # tunnel's ~100ms sync roundtrip then amortizes to <10%), with t0
+        # BEFORE the first dispatch (same window convention as bench.py)
+        reps, ts = 1, []
+        while True:
             t0 = time.perf_counter()
+            for w in range(reps):
+                st, loss = fn(st, data, labels, idx, jax.random.key(1 + w))
+            jax.block_until_ready(loss)
+            dt = time.perf_counter() - t0
+            if dt >= 1.0:
+                break
+            reps = max(reps + 1, int(reps * 1.3 / max(dt, 1e-3)))
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for w in range(reps):
+                st, loss = fn(st, data, labels, idx, jax.random.key(1 + w))
             jax.block_until_ready(loss)
             ts.append(time.perf_counter() - t0)
-        # time includes one dispatch; k steps amortize it
-        ips = b * k / float(np.median(ts))
+        ips = reps * b * k / float(np.median(ts))
         print(json.dumps({"variant": name,
                           "images_per_sec": round(ips, 1),
                           "loss_last": float(np.asarray(loss)[-1])}),

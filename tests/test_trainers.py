@@ -144,6 +144,57 @@ def test_probe_style_on_device_matches_materialized(data):
         probe.fit(1, tr, cache_features=False, style_on_device=True)
 
 
+def _fresh_copy(ds):
+    """Unmaterialized copy of a StyledDataset (same styling keys)."""
+    return StyledDataset(ds.images, ds.labels, ds.style_idx, styles=ds.styles,
+                         seed=ds.seed, sample_ids=ds.sample_ids)
+
+
+def test_vae_styled_evaluate_matches_materialized(data):
+    """evaluate(style_on_device=True) — the scanned eval program styling each
+    batch on the fly — must reproduce the materialized-path metrics (same
+    corruption keys, same reparam rng) without ever building the styled
+    copy. batch_size chosen to exercise the ragged-tail branch too."""
+    tr, va = data
+    t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,
+                             alpha=100.0, temperature=0.1)
+    t.fit(1, tr, batch_size=32, style_on_device=True)
+    bs = 10 if len(va) % 10 else 7  # force a ragged tail
+    saved = t._rng
+    mig_a, mse_a = t.evaluate(_fresh_copy(va), batch_size=bs)
+    t._rng = saved  # same reparam noise for the styled pass
+    ds_b = _fresh_copy(va)
+    mig_b, mse_b = t.evaluate(ds_b, batch_size=bs, style_on_device=True)
+    assert ds_b._styled_cache is None, "styled eval must not materialize"
+    np.testing.assert_allclose(mse_a, mse_b, rtol=1e-4)
+    np.testing.assert_allclose(mig_a, mig_b, atol=5e-3)
+    with pytest.raises(ValueError):
+        from clearvae_tpu.data.common import ArrayDataset
+        t.evaluate(ArrayDataset(np.zeros((8, 28, 28, 1), np.float32),
+                                np.zeros(8, np.int64),
+                                np.zeros(8, np.int64)),
+                   style_on_device=True)
+
+
+def test_cnn_styled_evaluate_matches_materialized(data):
+    """SimpleCNNTrainer.evaluate(style_on_device=True): fused style→logits
+    over padded chunks == materialized evaluate (deterministic forward)."""
+    tr, va = data
+    c = get_cnn_trainer(n_class=10)
+    c.fit(1, tr, batch_size=32, style_on_device=True)
+    (aupr_a, auroc_a), acc_a = c.evaluate(va, batch_size=32)
+    ds_b = _fresh_copy(va)
+    (aupr_b, auroc_b), acc_b = c.evaluate(ds_b, batch_size=32,
+                                          style_on_device=True)
+    assert ds_b._styled_cache is None, "styled eval must not materialize"
+    assert acc_a == pytest.approx(acc_b, abs=1e-6)
+    for k in aupr_a:
+        assert aupr_a[k] == pytest.approx(aupr_b[k], abs=1e-3)
+        assert auroc_a[k] == pytest.approx(auroc_b[k], abs=1e-3)
+    with pytest.raises(ValueError):
+        c.evaluate(object(), style_on_device=True)
+
+
 def test_probe_on_frozen_vae(data):
     tr, va = data
     t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,

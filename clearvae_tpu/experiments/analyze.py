@@ -100,6 +100,58 @@ def markdown_table(df: pd.DataFrame, metric: str = "acc") -> str:
     return "\n".join(lines)
 
 
+def paired_deltas(df: pd.DataFrame, metric: str = "acc",
+                  baseline: str = "baseline") -> pd.DataFrame:
+    """Seed-paired model-minus-baseline deltas per k: mean delta, std of
+    the per-seed deltas, and win count. Pairing within each (k, seed)
+    removes the between-seed variance that inflates the marginal std —
+    the right lens when all models of a seed share its style split."""
+    rows = []
+    for (k, seed), grp in df.groupby(["k", "seed"]):
+        base = grp[grp.model == baseline]
+        if base.empty:
+            continue
+        b = float(base.iloc[0][metric])
+        for _, r in grp.iterrows():
+            if r.model == baseline:
+                continue
+            rows.append({"model": r.model, "k": k, "seed": seed,
+                         "delta": float(r[metric]) - b})
+    d = pd.DataFrame(rows)
+    if d.empty:
+        return d
+    out = d.groupby(["model", "k"])["delta"].agg(
+        mean="mean", std="std", wins=lambda s: int((s > 0).sum()),
+        n="count").reset_index()
+    return out
+
+
+def paired_markdown(df: pd.DataFrame, metric: str = "acc",
+                    baseline: str = "baseline") -> str:
+    """Markdown table of paired deltas vs the baseline: `+mean±std (wins/n)`
+    per model × k."""
+    d = paired_deltas(df, metric, baseline)
+    if d.empty:
+        return "(no paired results)"
+    ks = sorted(d.k.unique())
+    lines = [f"| model (Δ{metric} vs {baseline}) | "
+             + " | ".join(f"k={k}" for k in ks) + " |",
+             "|---|" + "---|" * len(ks)]
+    for model in sorted(d.model.unique()):
+        cells = []
+        for k in ks:
+            r = d[(d.model == model) & (d.k == k)]
+            if r.empty:
+                cells.append("—")
+            else:
+                r = r.iloc[0]
+                std = f"±{r['std']:.3f}" if r["n"] > 1 else ""
+                cells.append(f"{r['mean']:+.3f}{std} ({int(r['wins'])}/"
+                             f"{int(r['n'])})")
+        lines.append(f"| {model} | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
 def main(argv=None):
     from clearvae_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -109,6 +161,8 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--markdown", action="store_true",
                    help="print mean±std accuracy as a markdown table")
+    p.add_argument("--paired", action="store_true",
+                   help="also print seed-paired model-minus-baseline deltas")
     args = p.parse_args(argv)
     df = load_results(args.result_dir, args.prefix)
     if args.markdown:
@@ -116,6 +170,9 @@ def main(argv=None):
     else:
         print(df.groupby(["model", "k"])[["acc", "map", "mauc"]].mean()
               .round(3))
+    if args.paired:
+        print()
+        print(paired_markdown(df))
     rel = relative_to_baseline(df)
     if args.out and not rel.empty:
         os.makedirs(args.out, exist_ok=True)

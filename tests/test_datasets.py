@@ -120,6 +120,15 @@ def test_analyze_aggregation(tmp_path):
     boxplots(rel, "rel_acc", str(tmp_path / "box.png"))
     assert (tmp_path / "box.png").exists()
 
+    from clearvae_tpu.experiments.analyze import paired_deltas, paired_markdown
+    d = paired_deltas(df)
+    r = d[(d.model == "clear") & (d.k == 1)].iloc[0]
+    assert r["mean"] == pytest.approx(0.2)   # 0.7 - 0.5, both seeds
+    assert r["std"] == pytest.approx(0.0)
+    assert int(r["wins"]) == 2 and int(r["n"]) == 2
+    md = paired_markdown(df)
+    assert "+0.200" in md and "(2/2)" in md
+
 
 def test_run_model_zoo_resume(tmp_path):
     """The results JSON doubles as a manifest: finished models are skipped."""

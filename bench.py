@@ -200,15 +200,20 @@ def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
                         jax.random.key(seed))
 
     state, m = one_block(state, 0)  # compile + warmup
-    jax.block_until_ready(m["loss"])
+    np.asarray(m["loss"])  # device_get = true sync (see window note below)
 
     # median of 3 timing windows — throughput through the remote-TPU tunnel
-    # is noisy, and a single short window under-reports steady state
+    # is noisy, and a single short window under-reports steady state.
+    # Window end is a HOST TRANSFER of the tiny per-epoch loss vector, not
+    # jax.block_until_ready: on the axon remote backend block_until_ready
+    # can return before the dispatched program actually finishes (measured:
+    # 122-epoch VAE64 blocks "completing" in 6ms -> a 260x-inflated rate),
+    # while a device_get cannot lie about completion.
     rates = []
     for w in range(3):
         t0 = time.perf_counter()
         state, m = one_block(state, 1 + w)
-        jax.block_until_ready(m["loss"])
+        np.asarray(m["loss"])
         rates.append(epochs_per_block * n_batches * batch
                      / (time.perf_counter() - t0))
     return float(np.median(rates))

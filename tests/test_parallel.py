@@ -161,6 +161,49 @@ def test_styled_epoch_on_mesh_matches_single_device():
                                rtol=2e-4)
 
 
+def test_styled_eval_epoch_on_mesh_matches_materialized():
+    """The styled EVAL scan (make_styled_eval_epoch_fn) matches the plain
+    eval scan over materialized pixels, single-device and on the mesh."""
+    from clearvae_tpu.config import ContrastiveConfig
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.data.styled import make_styled_mnist
+    from clearvae_tpu.train.steps import (init_vae_state,
+                                          make_clear_vae_eval_step,
+                                          make_eval_epoch_fn,
+                                          make_styled_eval_epoch_fn)
+
+    imgs, labels = synthetic_mnist(64, seed=4)
+    ds = make_styled_mnist(imgs, labels, seed=4)
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    state = init_vae_state(model, tx, jax.random.key(1), 28, 1)
+    eval_step = make_clear_vae_eval_step(model, ContrastiveConfig())
+    bi = jnp.asarray(np.arange(64).reshape(2, 32))
+    rng = jax.random.key(9)
+
+    m_mat = make_eval_epoch_fn(eval_step)(
+        state, jnp.asarray(ds.materialize()[..., None]),
+        jnp.asarray(labels), bi, rng)
+    styled_args = (jnp.asarray(imgs, jnp.float32), jnp.asarray(labels),
+                   jnp.asarray(ds.style_idx), jnp.asarray(ds.sample_ids))
+    m_otf = make_styled_eval_epoch_fn(eval_step, styles=ds.styles,
+                                      base_seed=4)(state, *styled_args, bi,
+                                                   rng)
+    np.testing.assert_allclose(np.asarray(m_mat["recon"]),
+                               np.asarray(m_otf["recon"]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(m_mat["z_c"]),
+                               np.asarray(m_otf["z_c"]), rtol=1e-3,
+                               atol=1e-5)
+
+    mesh = make_mesh(8)
+    s8 = replicate_state(mesh, state)
+    sharded = shard_batch(mesh, *styled_args)
+    m8 = make_styled_eval_epoch_fn(eval_step, styles=ds.styles, base_seed=4,
+                                   mesh=mesh)(s8, *sharded, bi, rng)
+    np.testing.assert_allclose(np.asarray(m_otf["recon"]),
+                               np.asarray(m8["recon"]), rtol=2e-4)
+
+
 def test_epochs_per_scan_fuses_blocks():
     """fit(epochs_per_scan=k) runs k epochs per program dispatch (nested
     scan) and still advances the step counter correctly, incl. on a mesh."""

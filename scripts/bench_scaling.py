@@ -25,6 +25,13 @@ def main():
     p.add_argument("--in_ch", type=int, default=1)
     p.add_argument("--unroll", type=int, default=1,
                    help="lax.scan unroll factor for the inner step scan")
+    p.add_argument("--fused_heads", action="store_true",
+                   help="fold the four latent heads + decoder dense into "
+                        "one [flat, 2z] matmul (VAE(fused_heads=True))")
+    p.add_argument("--window_images", type=int, default=2_500_000,
+                   help="images per timing window (>=1.2s of device time "
+                        "at the config's expected rate; use ~500k for the "
+                        "slower 64px configs)")
     args = p.parse_args()
 
     from clearvae_tpu.utils.cache import enable_compilation_cache
@@ -40,12 +47,14 @@ def main():
             ips = bench.measure_config(
                 dtype=dtype, batch=b, z_dim=args.z_dim, size=args.size,
                 in_ch=args.in_ch, n_images=n_images, unroll=args.unroll,
+                fused_heads=args.fused_heads,
                 # >=1.2s of device time even at ~2M img/s (bf16 large-batch)
-                target_window_images=2_500_000)
+                target_window_images=args.window_images)
             fl = bench.clear_vae_train_flops_per_image(
                 z_dim=args.z_dim, batch=b, size=args.size, in_ch=args.in_ch)
             print(json.dumps({
                 "batch": b, "dtype": dname, "unroll": args.unroll,
+                "fused_heads": args.fused_heads,
                 "images_per_sec_per_chip": round(ips, 1),
                 "mfu": round(ips * fl / bench.V5E_PEAK_FLOPS, 4),
             }), flush=True)

@@ -122,8 +122,21 @@ def paired_deltas(df: pd.DataFrame, metric: str = "acc",
         return d
     out = d.groupby(["model", "k"])["delta"].agg(
         mean="mean", std="std", wins=lambda s: int((s > 0).sum()),
-        n="count").reset_index()
+        n="count", p=_wilcoxon_greater).reset_index()
     return out
+
+
+def _wilcoxon_greater(deltas) -> float:
+    """One-sided Wilcoxon signed-rank p-value for H1: median delta > 0
+    (the seed-paired 'model beats baseline' claim). NaN when the test is
+    undefined (n < 5 signed pairs, or every delta exactly 0)."""
+    import numpy as np
+    vals = np.asarray(deltas, dtype=float)
+    vals = vals[vals != 0.0]  # wilcoxon's standard zero-handling
+    if len(vals) < 5:
+        return float("nan")
+    from scipy import stats
+    return float(stats.wilcoxon(vals, alternative="greater").pvalue)
 
 
 def paired_markdown(df: pd.DataFrame, metric: str = "acc",
@@ -146,8 +159,9 @@ def paired_markdown(df: pd.DataFrame, metric: str = "acc",
             else:
                 r = r.iloc[0]
                 std = f"±{r['std']:.3f}" if r["n"] > 1 else ""
+                pv = "" if pd.isna(r["p"]) else f" p={r['p']:.3f}"
                 cells.append(f"{r['mean']:+.3f}{std} ({int(r['wins'])}/"
-                             f"{int(r['n'])})")
+                             f"{int(r['n'])}{pv})")
         lines.append(f"| {model} | " + " | ".join(cells) + " |")
     return "\n".join(lines)
 

@@ -128,6 +128,24 @@ def test_analyze_aggregation(tmp_path):
     assert int(r["wins"]) == 2 and int(r["n"]) == 2
     md = paired_markdown(df)
     assert "+0.200" in md and "(2/2)" in md
+    assert "p=" not in md  # n=2 < 5 signed pairs: Wilcoxon undefined
+
+
+def test_paired_wilcoxon():
+    """One-sided Wilcoxon signed-rank on the paired deltas: all-positive
+    deltas at n=9 hit the exact-test floor 1/2^9; all-negative ~1; matches
+    scipy called directly."""
+    from scipy import stats
+
+    from clearvae_tpu.experiments.analyze import _wilcoxon_greater
+
+    pos = [0.05, 0.08, 0.11, 0.02, 0.07, 0.04, 0.09, 0.03, 0.06]
+    assert _wilcoxon_greater(pos) == pytest.approx(1 / 512)
+    assert _wilcoxon_greater([-v for v in pos]) == pytest.approx(1.0)
+    mixed = [0.05, -0.02, 0.08, 0.01, -0.03, 0.06, 0.04]
+    assert _wilcoxon_greater(mixed) == pytest.approx(
+        stats.wilcoxon(mixed, alternative="greater").pvalue)
+    assert np.isnan(_wilcoxon_greater([0.0] * 9))  # zeros drop -> undefined
 
 
 def test_run_model_zoo_resume(tmp_path):

@@ -71,9 +71,29 @@ class InferenceSession:
 
     # ------------------------------------------------------------------
 
+    def _canon(self, x):
+        """Canonicalize image input to NHWC [B, H, W, C].
+
+        Accepts [B,H,W,C]; [B,H,W] (grayscale batch, channel axis appended);
+        [H,W,C] (single image, batch axis prepended); [H,W] (single
+        grayscale). Disambiguates [X,H,W] -vs- [H,W,C] by the model's
+        ``in_channel``. Anything else (e.g. torch-style NCHW) raises rather
+        than silently encoding garbage."""
+        x = jnp.asarray(x)
+        c = self.model.in_channel
+        if x.ndim == 2:
+            x = x[None, :, :, None]
+        elif x.ndim == 3:
+            x = x[None] if x.shape[-1] == c else x[..., None]
+        if x.ndim != 4 or x.shape[-1] != c:
+            raise ValueError(
+                f"expected NHWC images with {c} channel(s), got {x.shape} "
+                "(torch-style NCHW input must be transposed)")
+        return x
+
     def encode(self, x):
         """(mu_c, logvar_c, mu_s, logvar_s)."""
-        return self._encode(jnp.asarray(x))
+        return self._encode(self._canon(x))
 
     def decode(self, z):
         return self._decode(jnp.asarray(z))
@@ -81,7 +101,7 @@ class InferenceSession:
     def reconstruct(self, x, sample: bool = False, seed: int = 0):
         """Deterministic (z = mu) or sampled reconstruction."""
         if sample:
-            x_hat, _ = self._sample_forward(jnp.asarray(x), jax.random.key(seed))
+            x_hat, _ = self._sample_forward(self._canon(x), jax.random.key(seed))
             return x_hat
         mu_c, _, mu_s, _ = self.encode(x)
         return self.decode(jnp.concatenate([mu_c, mu_s], axis=-1))
@@ -97,8 +117,8 @@ class InferenceSession:
         """Interpolation strip between two images in one latent half."""
         from clearvae_tpu.utils.visual import interpolate_latent
 
-        mu_c1, _, mu_s1, _ = self.encode(x1[None] if x1.ndim == 3 else x1)
-        mu_c2, _, mu_s2, _ = self.encode(x2[None] if x2.ndim == 3 else x2)
+        mu_c1, _, mu_s1, _ = self.encode(x1)
+        mu_c2, _, mu_s2, _ = self.encode(x2)
         if what == "style":
             zi = interpolate_latent(mu_s1[0], mu_s2[0], num_steps)
             z = jnp.concatenate([jnp.repeat(mu_c1, num_steps, 0), zi], axis=-1)

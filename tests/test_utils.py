@@ -196,6 +196,17 @@ def test_inference_session(tmp_path):
     np.testing.assert_allclose(np.asarray(live.reconstruct(x)),
                                np.asarray(rec), atol=1e-6)
 
+    # input canonicalization: [B,H,W] grayscale (no channel axis), a single
+    # [H,W] image, and a single [H,W,C] image all encode; NCHW raises
+    heads_nhw = sess.encode(x[..., 0])
+    np.testing.assert_allclose(np.asarray(heads_nhw[0]),
+                               np.asarray(heads[0]), atol=1e-6)
+    assert sess.encode(x[0, :, :, 0])[0].shape == (1, 8)
+    assert sess.encode(x[0])[0].shape == (1, 8)
+    assert sess.reconstruct(x[..., 0]).shape == (8, 28, 28, 1)
+    with pytest.raises(ValueError, match="NHWC"):
+        sess.encode(np.transpose(x, (0, 3, 1, 2)))  # torch-style NCHW
+
 
 def test_inference_session_custom_size(tmp_path):
     """from_checkpoint must size its restore template from model.image_size,

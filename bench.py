@@ -286,6 +286,13 @@ EXTRA_CONFIGS = {
     "vae64_clear": (dict(z_dim=64, size=64, in_ch=3, n_images=2048,
                          target_window_images=250_000),
                     dict(z_dim=64, size=64, in_ch=3)),
+    # best measured 64px config (vae64 batch-scaling: bf16 B=256 beats the
+    # parity B=128 row by ~13% — the pipeline config that dominates
+    # experiment wall-clock, in perf mode)
+    "vae64_bf16_b256": (dict(dtype="bf16", z_dim=64, size=64, in_ch=3,
+                             batch=256, n_images=2048,
+                             target_window_images=300_000),
+                        dict(z_dim=64, size=64, in_ch=3, batch=256)),
     "clear_tc_28": (dict(kind="tc", target_window_images=1_000_000),
                     dict(variant="tc")),
     "clear_mim_28": (dict(kind="mim", target_window_images=800_000),

@@ -36,7 +36,7 @@ def get_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", type=str, default="clearvae",
                    choices=["clearvae", "clearmimvae", "cleartcvae", "gvae",
-                            "mlvae"])
+                            "mlvae", "bvae"])
     p.add_argument("--dataset", type=str, default="styled",
                    choices=["styled", "colored", "celeba"],
                    help="styled = MNIST-C styles; colored = 7-color "
@@ -67,6 +67,11 @@ def build_trainer(args):
                   seed=args.seed, in_channel=in_ch, vae_arch=arch)
     if args.model == "clearvae":
         return get_clearvae_trainer(ps=True, alpha=args.alpha,
+                                    temperature=args.temperature, **common)
+    if args.model == "bvae":
+        # β-VAE = CLEAR with the contrastive terms off (alpha=0), the same
+        # construction as the MIG sweep zoo (reference run_mig_expr_mnist.py)
+        return get_clearvae_trainer(ps=False, alpha=0.0,
                                     temperature=args.temperature, **common)
     if args.model == "clearmimvae":
         return get_clearmimvae_trainer(mi_estimator="CLUBSample", la=3,

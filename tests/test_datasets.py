@@ -259,3 +259,23 @@ def test_synth64_content_polarity_consistent():
             obj = lum[g > 0.3].mean()
             ground = lum[g <= 0.01].mean()
             assert obj > ground, (renderer.__name__, idx, obj, ground)
+
+
+def test_illustrate_runner_tiny(tmp_path):
+    """Data-illustration runner end-to-end: three deterministic grids."""
+    import matplotlib.pyplot as plt
+
+    from clearvae_tpu.experiments import illustrate as IL
+
+    IL.main(["--n_synthetic", "256", "--seed", "3", "--out", str(tmp_path)])
+    for name in ("example-data", "illustrate_content", "illustrate_styles"):
+        img = plt.imread(tmp_path / f"{name}.png")
+        assert img.ndim == 3 and img.shape[0] > 50, name
+        assert img.std() > 0.02, name  # non-blank
+
+    # deterministic: a second run writes identical pixels
+    IL.main(["--n_synthetic", "256", "--seed", "3", "--out",
+             str(tmp_path / "b")])
+    a = plt.imread(tmp_path / "example-data.png")
+    b = plt.imread(tmp_path / "b" / "example-data.png")
+    assert a.shape == b.shape and (a == b).all()

@@ -729,21 +729,25 @@ class DownstreamMLPTrainer:
             # the whole probe training (or each verbose block) is ONE XLA
             # dispatch — the per-batch math is tiny [B, z] MLP steps, so the
             # eager loop was pure tunnel-dispatch latency (~12k round-trips
-            # for the reference 41-epoch probe). A ragged final block (e.g.
-            # 41 epochs at period 10 -> blocks 10,10,10,10,1) adds a second
-            # program shape; both shapes repeat identically across a model
+            # for the reference 41-epoch probe). Ragged blocks (e.g. 41
+            # epochs at period 10 -> blocks 1,10,10,10,10) add at most two
+            # extra program shapes; shapes repeat identically across a model
             # zoo, so the persistent XLA cache absorbs the recompiles.
             block = (epochs if valid_ds is None
                      else max(1, int(self.verbose_period)))
             epoch = 0
             while epoch < epochs:
-                e = min(block, epochs - epoch)
+                # first block is a single epoch so the evaluation points
+                # land exactly where the eager path's do (after epoch 0,
+                # then after every verbose_period-th epoch, final included)
+                e = 1 if (valid_ds is not None and epoch == 0) \
+                    else min(block, epochs - epoch)
                 bi = jnp.asarray(np.stack([_perm(epoch + i)
                                            for i in range(e)]))
                 self.state, _ = self._feat_epochs_fn(self.state, feats_j,
                                                      labels_j, bi)
                 epoch += e
-                if valid_ds is not None and epoch < epochs:
+                if valid_ds is not None and (epoch - 1) % block == 0:
                     (aupr, auroc), acc = self.evaluate(
                         valid_ds, batch_size,
                         style_on_device=style_on_device)

@@ -87,10 +87,13 @@ def capture(args) -> str:
         rs.permutation(n)[: nb * args.batch].reshape(nb, args.batch)
         for _ in range(blocks)]))
     state, m = epoch_fn(state, data, lbl, bi, jax.random.key(0))
-    jax.block_until_ready(m["loss"])
+    np.asarray(m["loss"])  # warmup; device-get sync
     with jax.profiler.trace(args.trace_dir):
         state, m = epoch_fn(state, data, lbl, bi, jax.random.key(1))
-        jax.block_until_ready(m["loss"])
+        # DEVICE_GET before closing the trace: block_until_ready can return
+        # early on axon with one program in flight, truncating the trace
+        # (CLAUDE.md benchmark-sync invariant)
+        np.asarray(m["loss"])
     print(f"# trace captured: {blocks * nb} steps of batch {args.batch}",
           file=sys.stderr)
     return args.trace_dir

@@ -97,17 +97,20 @@ def main():
                            ("gather_onehot_mxu", epoch_oh, data2)]:
         st = jax.tree.map(jnp.copy, state0)
         st, loss = fn(st, data, labels, idx, jax.random.key(0))
-        jax.block_until_ready(loss)
+        np.asarray(loss)  # warmup; device-get sync (CLAUDE.md invariant)
         # window = enough repeat dispatches of the k-step program that the
         # measured span is >=1s of device time (CLAUDE.md invariant; the
         # tunnel's ~100ms sync roundtrip then amortizes to <10%), with t0
         # BEFORE the first dispatch (same window convention as bench.py)
+        # windows end with a DEVICE_GET of the small loss vector, never
+        # block_until_ready (early-return on axon with few programs in
+        # flight — CLAUDE.md benchmark-sync invariant, same fix as bench.py)
         reps, ts = 1, []
         while True:
             t0 = time.perf_counter()
             for w in range(reps):
                 st, loss = fn(st, data, labels, idx, jax.random.key(1 + w))
-            jax.block_until_ready(loss)
+            np.asarray(loss)
             dt = time.perf_counter() - t0
             if dt >= 1.0:
                 break
@@ -116,7 +119,7 @@ def main():
             t0 = time.perf_counter()
             for w in range(reps):
                 st, loss = fn(st, data, labels, idx, jax.random.key(1 + w))
-            jax.block_until_ready(loss)
+            np.asarray(loss)
             ts.append(time.perf_counter() - t0)
         ips = reps * b * k / float(np.median(ts))
         print(json.dumps({"variant": name,

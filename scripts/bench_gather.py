@@ -51,12 +51,14 @@ def main():
 
     def run(name, fn, *arrs):
         jfn = jax.jit(fn)
-        out = jfn(*arrs)
-        jax.block_until_ready(out)
+        np.asarray(jfn(*arrs))  # warmup; device-get sync
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(jfn(*arrs))
+            # window ends with a DEVICE_GET of the scalar output —
+            # block_until_ready can return early on the axon backend with
+            # few programs in flight (CLAUDE.md benchmark-sync invariant)
+            np.asarray(jfn(*arrs))
             ts.append(time.perf_counter() - t0)
         us_per_step = float(np.median(ts)) / k * 1e6
         gbps = b * f * data4.dtype.itemsize / (us_per_step / 1e6) / 1e9

@@ -346,3 +346,23 @@ def test_hierarchical_eval_acc_switch_under_scan(data):
     assert np.isfinite(mse_plain) and np.isfinite(mse_acc)
     # the accumulated-evidence path yields different latents → different MSE
     # (they may rarely coincide, so only sanity-check finiteness + shape here)
+
+
+def test_probe_blocked_eval_schedule_matches_eager(data, capsys):
+    """The blocked (cached-feature) probe fit must evaluate at the same
+    epochs as the eager path: after epoch 0, then after every
+    verbose_period-th epoch, final included."""
+    tr, va = data
+    t = get_clearvae_trainer(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16,
+                             alpha=100.0, temperature=0.1)
+    t.fit(1, tr, batch_size=32)
+
+    def eval_epochs(cache_features):
+        probe = DownstreamMLPTrainer(t, n_class=10, verbose_period=2, seed=0)
+        capsys.readouterr()
+        probe.fit(5, tr, va, batch_size=32, cache_features=cache_features)
+        out = capsys.readouterr().out
+        return [int(l.split()[2].rstrip(":")) for l in out.splitlines()
+                if l.startswith("probe epoch")]
+
+    assert eval_epochs(True) == eval_epochs(False) == [0, 2, 4]

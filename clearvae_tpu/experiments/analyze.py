@@ -167,8 +167,9 @@ def paired_markdown(df: pd.DataFrame, metric: str = "acc",
 
 
 def main(argv=None):
-    from clearvae_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+    # no enable_compilation_cache() here: this aggregator is jax-free
+    # (pandas/scipy/matplotlib only), and the cache call would needlessly
+    # take the single-TPU-process lock while a campaign holds the chip
     p = argparse.ArgumentParser()
     p.add_argument("--result_dir", type=str, required=True)
     p.add_argument("--prefix", type=str, default="styledmnist")

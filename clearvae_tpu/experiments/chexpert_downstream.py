@@ -36,9 +36,17 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--epochs_per_scan", type=int, default=1)
-    p.add_argument("--n_synthetic", type=int, default=2048)
+    # 4096 is the campaign protocol size (CLAUDE.md): every committed seed
+    # used it, and resuming into the same results dir with a different n
+    # would silently pool mismatched dataset sizes (VERDICT r3 weak #3).
+    p.add_argument("--n_synthetic", type=int, default=4096)
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--k_max", type=int, default=3)
+    p.add_argument("--perf_mode", action="store_true",
+                   help="build the VAE zoo entries with the measured-fast "
+                        "variant (bf16 conv stacks + fused latent heads); "
+                        "results go to a separate *-perf.json — do not pool "
+                        "with default-mode seeds")
     p.add_argument("--out", type=str,
                    default="./expr_output/chexpert/classification")
     return p.parse_args(argv)
@@ -69,8 +77,10 @@ def main(argv=None):
         train_full, test, _ = kstyle_train_test_split(ds, classes, styles, k,
                                                       seed)
         train, valid = train_valid_split_array(train_full, 0.85, seed)
-        models = model_zoo64(len(classes), trainer_kwargs, seed, in_channel=1)
-        fpath = f"{args.out}/chexpert-k{k}-{seed}.json"
+        models = model_zoo64(len(classes), trainer_kwargs, seed,
+                             in_channel=1, perf_mode=args.perf_mode)
+        suffix = "-perf" if args.perf_mode else ""
+        fpath = f"{args.out}/chexpert-k{k}-{seed}{suffix}.json"
         results = run_model_zoo(models, train, valid, test, args.epochs,
                                 batch_size=args.batch_size,
                                 n_class=len(classes), resume_path=fpath,

@@ -29,8 +29,8 @@ from clearvae_tpu import config as C
 from clearvae_tpu.models.factor import FactorCls
 from clearvae_tpu.models.mlp import ProbeMLP
 from clearvae_tpu.ops import metrics as MT
-from clearvae_tpu.parallel.mesh import (data_axis_size, place_state,
-                                         shard_batch)
+from clearvae_tpu.parallel.mesh import (place_state, shard_batch,
+                                        shard_batch_checked)
 from clearvae_tpu.train import steps as S
 
 
@@ -165,12 +165,13 @@ class TrainerCore:
                 data = jnp.asarray(train_ds.images)
             labels = jnp.asarray(train_ds.labels)
             n = len(train_ds)
-            if self.mesh is not None and n % data_axis_size(self.mesh) == 0:
+            if self.mesh is not None:
                 if styled_path:
-                    data, labels, *style_args = shard_batch(
-                        self.mesh, data, labels, *style_args)
+                    data, labels, *style_args = shard_batch_checked(
+                        self.mesh, n, data, labels, *style_args)
                 else:
-                    data, labels = shard_batch(self.mesh, data, labels)
+                    data, labels = shard_batch_checked(self.mesh, n, data,
+                                                       labels)
             if n < batch_size:  # tiny split: shrink instead of dropping all
                 batch_size = n
             n_batches = n // batch_size
@@ -322,9 +323,9 @@ class VAETrainerBase(TrainerCore):
             self._eval_epoch_fn = self._eval_epoch_fns[key]
             lbls = jnp.asarray(ds.labels)
             n = len(ds)
-            if self.mesh is not None and n % data_axis_size(self.mesh) == 0:
-                data, lbls, *style_args = shard_batch(self.mesh, data, lbls,
-                                                      *style_args)
+            if self.mesh is not None:
+                data, lbls, *style_args = shard_batch_checked(
+                    self.mesh, n, data, lbls, *style_args)
             bs = min(batch_size, n)
             nb = n // bs
             if nb > 0:

@@ -3,7 +3,12 @@
 The styling program (6 vmapped corruption kernels under lax.switch) and the
 scanned epoch programs take O(minutes) to compile cold; a persistent cache
 makes every later process start hot. Call once early (bench.py and the
-experiment runners do)."""
+experiment runners do).
+
+This is also the chokepoint where the single-TPU-process lock is taken
+(utils/lock.py): every TPU entry point calls this before touching the
+device, so wiring the flock here guarantees no runner is missed. CPU-backed
+processes (the test suite) skip the lock."""
 
 from __future__ import annotations
 
@@ -11,6 +16,10 @@ import os
 
 
 def enable_compilation_cache(path: str | None = None):
+    from clearvae_tpu.utils.lock import acquire_tpu_lock
+
+    acquire_tpu_lock()
+
     import jax
 
     path = path or os.environ.get(

@@ -37,6 +37,11 @@ def get_args(argv=None):
     p.add_argument("--k", type=int, default=1)
     p.add_argument("--models", type=str, nargs="*", default=None,
                    help="run only these zoo entries (prefix match)")
+    p.add_argument("--perf_mode", action="store_true",
+                   help="build the VAE zoo entries with the measured-fast "
+                        "variant (bf16 conv stacks + fused latent heads); "
+                        "results go to a separate *-perf.json — do not pool "
+                        "with default-mode seeds")
     p.add_argument("--out", type=str,
                    default="./expr_output/camelyon17/classification")
     return p.parse_args(argv)
@@ -56,12 +61,14 @@ def main(argv=None):
     train, valid = train_valid_split_array(train_full, 0.85, seed)
     models = filter_models(
         model_zoo64(2, trainer_kwargs, seed, lam_coef=0.001,
-                    tc_temperature=0.1), args.models)
+                    tc_temperature=0.1, perf_mode=args.perf_mode),
+        args.models)
 
     # incremental persistence like the notebook (cell 9): the results JSON
     # is run_model_zoo's resume manifest — finished models are skipped, so
     # a crashed run resumes cheaply
-    fpath = f"{args.out}/camelyon17-k{args.k}-{seed}.json"
+    suffix = "-perf" if args.perf_mode else ""
+    fpath = f"{args.out}/camelyon17-k{args.k}-{seed}{suffix}.json"
     results = run_model_zoo(models, train, valid, test, args.epochs,
                             batch_size=args.batch_size, n_class=2,
                             probe_epochs=1, resume_path=fpath,

@@ -40,6 +40,11 @@ def get_args(argv=None):
     p.add_argument("--k_max", type=int, default=3)
     p.add_argument("--models", type=str, nargs="*", default=None,
                    help="run only these zoo entries (prefix match)")
+    p.add_argument("--perf_mode", action="store_true",
+                   help="build the VAE zoo entries with the measured-fast "
+                        "variant (bf16 conv stacks + fused latent heads); "
+                        "results go to a separate *-perf.json — do not pool "
+                        "with default-mode seeds")
     p.add_argument("--out", type=str,
                    default="./expr_output/celeba/classification")
     return p.parse_args(argv)
@@ -58,9 +63,11 @@ def main(argv=None):
         print(f"Experiment: k={k}, seed={seed}")
         train_full, test, _ = kceleba_train_test_split(celeba, k, seed)
         train, valid = train_valid_split_array(train_full, 0.85, seed)
-        models = model_zoo64(4, trainer_kwargs, seed)
+        models = model_zoo64(4, trainer_kwargs, seed,
+                             perf_mode=args.perf_mode)
         models = filter_models(models, args.models)
-        fpath = f"{args.out}/celeba-k{k}-{seed}.json"
+        suffix = "-perf" if args.perf_mode else ""
+        fpath = f"{args.out}/celeba-k{k}-{seed}{suffix}.json"
         results = run_model_zoo(models, train, valid, test, args.epochs,
                                 batch_size=args.batch_size, n_class=4,
                                 resume_path=fpath,

@@ -17,15 +17,26 @@ from clearvae_tpu.train.factories import (
 def model_zoo64(n_class: int, trainer_kwargs: dict, seed: int,
                 lam_coef: float | None = None,
                 tc_temperature: float | None = None,
-                in_channel: int = 3) -> dict:
+                in_channel: int = 3, perf_mode: bool = False) -> dict:
     """The 7-model zoo on VAE64/SimpleCNN64; ``lam_coef`` adds the LAM-CNN
     entry (Camelyon17 only); ``tc_temperature`` overrides τ for CLEAR-TC
     (the Camelyon17 notebook uses 0.1 there vs 0.3 elsewhere);
-    ``in_channel`` = 1 for grayscale 64×64 pipelines (CheXpert)."""
+    ``in_channel`` = 1 for grayscale 64×64 pipelines (CheXpert).
+
+    ``perf_mode`` builds the VAE entries with the measured-fast variant
+    (bf16 conv stacks + fused latent heads — bench.py ``vae64_bf16_b256``,
+    ``clear_28_fusedheads``). Same math; different param tree and bf16
+    rounding, so results must NOT be pooled with default-mode runs — the
+    runners write them to a separate ``*-perf`` results file."""
     common = dict(trainer_kwargs)
+    if perf_mode:
+        import jax.numpy as jnp
+
+        common["vae_kwargs"] = {"dtype": jnp.bfloat16, "fused_heads": True}
     hier = {"beta": common["beta"], "vae_lr": common["vae_lr"],
             "z_dim": common["z_dim"], "vae_arch": "VAE64",
-            "in_channel": in_channel, "n_classes": n_class, "seed": seed}
+            "in_channel": in_channel, "n_classes": n_class, "seed": seed,
+            **({"vae_kwargs": common["vae_kwargs"]} if perf_mode else {})}
     tc_kwargs = dict(common)
     if tc_temperature is not None:
         tc_kwargs["temperature"] = tc_temperature

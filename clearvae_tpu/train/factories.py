@@ -41,35 +41,49 @@ def get_lamcnn_trainer(n_class, lam_coef, cnn_arch: str = "LAMCNNClassifier",
 def get_hierarchical_vae_trainer(beta, vae_lr, z_dim, group_mode,
                                  vae_arch: str = "VAE", in_channel: int = 1,
                                  verbose_period: int = 5, seed: int = 0,
-                                 mesh=None, n_classes: int = 10, **_):
+                                 mesh=None, n_classes: int = 10,
+                                 vae_kwargs: dict | None = None,
+                                 mig_backend: str = "auto", **_):
     """reference trainer_utils.py:59-84."""
     vae = MODELS[vae_arch](total_z_dim=z_dim, in_channel=in_channel,
-                           group_mode=group_mode, n_classes=n_classes)
+                           group_mode=group_mode, n_classes=n_classes,
+                           **(vae_kwargs or {}))
     return HierarchicalVAETrainer(
         vae, optax.adam(vae_lr),
         hyperparameter={"beta": beta, "scale": 1, "loc": 0},
-        verbose_period=verbose_period, seed=seed, mesh=mesh)
+        verbose_period=verbose_period, seed=seed, mesh=mesh,
+        mig_backend=mig_backend)
 
 
 def get_clearvae_trainer(beta, ps, vae_lr, z_dim, alpha, temperature,
                          vae_arch: str = "VAE", in_channel: int = 1,
                          verbose_period: int = 5, seed: int = 0, mesh=None,
-                         sim_fn: str = "cosine", **_):
-    """reference trainer_utils.py:87-116 (sim_fn='cosine')."""
-    vae = MODELS[vae_arch](total_z_dim=z_dim, in_channel=in_channel)
+                         sim_fn: str = "cosine",
+                         vae_kwargs: dict | None = None,
+                         mig_backend: str = "auto", **_):
+    """reference trainer_utils.py:87-116 (sim_fn='cosine').
+
+    ``vae_kwargs`` forwards extra model fields (e.g. perf-mode
+    ``{"dtype": jnp.bfloat16, "fused_heads": True}``)."""
+    vae = MODELS[vae_arch](total_z_dim=z_dim, in_channel=in_channel,
+                           **(vae_kwargs or {}))
     return CLEARVAETrainer(
         vae, optax.adam(vae_lr), sim_fn=sim_fn,
         hyperparameter={"temperature": temperature, "alpha": alpha,
                         "beta": beta, "ps": ps, "loc": 0, "scale": 1},
-        verbose_period=verbose_period, seed=seed, mesh=mesh)
+        verbose_period=verbose_period, seed=seed, mesh=mesh,
+        mig_backend=mig_backend)
 
 
 def get_cleartcvae_trainer(beta, la, vae_lr, factor_cls_lr, z_dim, alpha,
                            temperature, vae_arch: str = "VAE",
                            in_channel: int = 1, verbose_period: int = 5,
-                           seed: int = 0, mesh=None, **_):
+                           seed: int = 0, mesh=None,
+                           vae_kwargs: dict | None = None,
+                           mig_backend: str = "auto", **_):
     """reference trainer_utils.py:119-157."""
-    vae = MODELS[vae_arch](total_z_dim=z_dim, in_channel=in_channel)
+    vae = MODELS[vae_arch](total_z_dim=z_dim, in_channel=in_channel,
+                           **(vae_kwargs or {}))
     factor_cls = FactorCls(z_dim=z_dim)
     return ClearTCVAETrainer(
         vae, factor_cls,
@@ -78,17 +92,20 @@ def get_cleartcvae_trainer(beta, la, vae_lr, factor_cls_lr, z_dim, alpha,
         sim_fn="cosine",
         hyperparameter={"temperature": temperature, "alpha": alpha,
                         "beta": beta, "loc": 0, "scale": 1, "lambda": la},
-        verbose_period=verbose_period, seed=seed, mesh=mesh)
+        verbose_period=verbose_period, seed=seed, mesh=mesh,
+        mig_backend=mig_backend)
 
 
 def get_clearmimvae_trainer(beta, mi_estimator: str, la, vae_lr,
                             mi_estimator_lr, z_dim, alpha, temperature,
                             vae_arch: str = "VAE", in_channel: int = 1,
                             verbose_period: int = 5, seed: int = 0, mesh=None,
-                            **_):
+                            vae_kwargs: dict | None = None,
+                            mig_backend: str = "auto", **_):
     """reference trainer_utils.py:160-201 (estimator sized
     x_dim=y_dim=z_dim//2, hidden=z_dim)."""
-    vae = MODELS[vae_arch](total_z_dim=z_dim, in_channel=in_channel)
+    vae = MODELS[vae_arch](total_z_dim=z_dim, in_channel=in_channel,
+                           **(vae_kwargs or {}))
     est = MI_ESTIMATORS[mi_estimator](x_dim=z_dim // 2, y_dim=z_dim // 2,
                                       hidden_size=z_dim)
     return ClearMIMVAETrainer(
@@ -98,7 +115,8 @@ def get_clearmimvae_trainer(beta, mi_estimator: str, la, vae_lr,
         sim_fn="cosine",
         hyperparameter={"temperature": temperature, "beta": beta, "loc": 0,
                         "scale": 1, "alpha": alpha, "lambda": la},
-        verbose_period=verbose_period, seed=seed, mesh=mesh)
+        verbose_period=verbose_period, seed=seed, mesh=mesh,
+        mig_backend=mig_backend)
 
 
 def trainer_from_config(cfg):

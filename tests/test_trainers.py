@@ -366,3 +366,39 @@ def test_probe_blocked_eval_schedule_matches_eager(data, capsys):
                 if l.startswith("probe epoch")]
 
     assert eval_epochs(True) == eval_epochs(False) == [0, 2, 4]
+
+
+def test_perf_mode_zoo_trains_and_evaluates():
+    """perf-mode (bf16 + fused heads, VERDICT r4 item 6) must construct the
+    full 64px zoo, fit, and produce finite metrics; the fused-heads VAE must
+    expose the same encode signature (4 latent heads) as the default."""
+    from clearvae_tpu.experiments.downstream64 import model_zoo64
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(48, 64, 64, 3).astype(np.float32)
+    labels = rng.randint(0, 4, size=48).astype(np.int64)
+
+    class _DS:
+        def __init__(self, x, y):
+            self.images, self.labels = x, y
+
+        def __len__(self):
+            return len(self.labels)
+
+    ds = _DS(imgs, labels)
+    kw = {"beta": 1 / 32, "vae_lr": 1e-4, "z_dim": 16, "alpha": 100.0,
+          "temperature": 0.1}
+    zoo = model_zoo64(4, kw, seed=0, perf_mode=True)
+    # VAE entries carry the perf kwargs; the baseline CNN is untouched
+    assert zoo["clear"][1]["vae_kwargs"]["fused_heads"] is True
+    assert "vae_kwargs" not in zoo["baseline"][1]
+    fn, kwargs = zoo["clear"]
+    t = fn(**kwargs)
+    assert t.model.fused_heads and t.model.dtype == jnp.bfloat16
+    t.fit(1, ds, batch_size=16, use_scan=True)
+    mig, mse = t.evaluate(ds, batch_size=16)
+    assert np.isfinite(mig) and np.isfinite(mse)
+    # hierarchical entry accepts the kwargs too
+    fn_h, kw_h = zoo["gvae"]
+    th = fn_h(**kw_h)
+    assert th.model.fused_heads

@@ -50,6 +50,13 @@ def get_args(argv=None):
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--out", type=str, default="./expr_output/styled-mnist")
     p.add_argument("--betas", type=float, nargs="*", default=None)
+    p.add_argument("--mig_backend", type=str, default="auto",
+                   choices=["auto", "native", "numpy", "jnp"],
+                   help="MIG KSG backend; 'jnp' runs the estimator on the "
+                        "TPU (fastest warm: 0.16s vs 1.25s native at N=10k, "
+                        "value diff 2e-5 — see BASELINE.md; first call per "
+                        "shape compiles ~100s, amortized by the persistent "
+                        "compilation cache)")
     return p.parse_args(argv)
 
 
@@ -75,7 +82,7 @@ def get_data(args):
 def model_zoo(args):
     dh = {"vae_lr": 5e-4, "z_dim": args.z_dim, "alpha": args.alpha,
           "temperature": args.temperature, "vae_arch": "VAE",
-          "seed": args.seed}
+          "seed": args.seed, "mig_backend": args.mig_backend}
     return {
         "clear-ps": lambda beta: get_clearvae_trainer(beta=beta, ps=True, **dh),
         "clear-neg": lambda beta: get_clearvae_trainer(beta=beta, ps=False, **dh),
@@ -90,10 +97,10 @@ def model_zoo(args):
             **dh),
         "mlvae": lambda beta: get_hierarchical_vae_trainer(
             beta=beta, vae_lr=5e-4, z_dim=args.z_dim, group_mode="MLVAE",
-            seed=args.seed),
+            seed=args.seed, mig_backend=args.mig_backend),
         "gvae": lambda beta: get_hierarchical_vae_trainer(
             beta=beta, vae_lr=5e-4, z_dim=args.z_dim, group_mode="GVAE",
-            seed=args.seed),
+            seed=args.seed, mig_backend=args.mig_backend),
     }
 
 

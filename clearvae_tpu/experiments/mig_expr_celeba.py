@@ -37,6 +37,9 @@ def get_args(argv=None):
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--betas", type=float, nargs="*", default=None)
+    p.add_argument("--mig_backend", type=str, default="auto",
+                   choices=["auto", "native", "numpy", "jnp"],
+                   help="MIG KSG backend ('jnp' = on-TPU; see mig_expr.py)")
     p.add_argument("--out", type=str, default="./expr_output/celeba")
     return p.parse_args(argv)
 
@@ -57,9 +60,11 @@ def main(argv=None):
 
     dh = {"vae_lr": 3e-5, "z_dim": args.z_dim, "alpha": args.alpha,
           "temperature": args.temperature, "vae_arch": "VAE64",
-          "in_channel": 3, "seed": args.seed}
+          "in_channel": 3, "seed": args.seed,
+          "mig_backend": args.mig_backend}
     hier = {"vae_lr": 3e-5, "z_dim": args.z_dim, "vae_arch": "VAE64",
-            "in_channel": 3, "n_classes": 4, "seed": args.seed}
+            "in_channel": 3, "n_classes": 4, "seed": args.seed,
+            "mig_backend": args.mig_backend}
     models = {
         "clear-ps": lambda b: get_clearvae_trainer(beta=b, ps=True, **dh),
         "clear-neg": lambda b: get_clearvae_trainer(beta=b, ps=False, **dh),

@@ -121,7 +121,10 @@ def _mi_cd_jnp(x: Array, y: Array, n_neighbors: int, n_classes: int) -> Array:
         within = (dist <= radius[:, None]) & valid[None, :]
         return jnp.sum(within, axis=1).astype(jnp.float32)
 
-    m_all = jax.vmap(per_feature, in_axes=1, out_axes=1)(x)  # [N, F]
+    # sequential over features: vmap would materialize [F, N, N] distance
+    # intermediates (51 GB at the experiments' N=10k, F=8 — exceeds v5e
+    # HBM); lax.map keeps the peak at one [N, N] matrix per feature
+    m_all = jax.lax.map(per_feature, x.T).T                  # [N, F]
 
     n_eff = jnp.maximum(jnp.sum(valid), 1)
     dg = jax.scipy.special.digamma

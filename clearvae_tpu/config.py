@@ -81,6 +81,11 @@ class MIMConfig:
     la: float = 3.0
     mi_estimator_lr: float = 2e-3
     inner_steps: int = 5  # estimator updates per batch (reference: trainer.py:874)
+    # opt-in perf deviation: train the estimator on the phase-1 (pre-VAE-
+    # update) latents instead of re-encoding with updated params — saves one
+    # encoder forward per step at one-step-stale estimator targets
+    # (reference re-encodes: trainer.py:874-888). A/B in BASELINE.md.
+    reuse_phase1_encode: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -368,12 +368,12 @@ def make_clear_mim_step(model, mi_estimator, tx, mi_tx, anneal_cfg,
                 + contrastive_cfg.alpha * c_loss + la * mi_loss)
         metrics = {"loss": loss, "recon": recon, "kl_c": kl_c, "kl_s": kl_s,
                    "c_loss": c_loss, "mi_loss": mi_loss}
-        return loss, (new_stats, metrics)
+        return loss, (new_stats, metrics, lp)
 
     def step_core(state: TrainState, x, label, rng):
         k_vae, k_inner = jax.random.split(rng)
         # phase 1: VAE update (estimator params frozen)
-        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+        (_, (new_stats, metrics, lp1)), grads = jax.value_and_grad(
             vae_loss_fn, has_aux=True)(state.params, state.batch_stats,
                                        state.aux_params, x, label, k_vae,
                                        state.step)
@@ -386,13 +386,22 @@ def make_clear_mim_step(model, mi_estimator, tx, mi_tx, anneal_cfg,
         # encode once and draw fresh reparameterization noise per inner step
         # (numerics identical apart from BN running-stat repetition — the
         # reference nudges running stats 5 extra times with the same batch
-        # statistic, a documented deviation).
-        variables = {"params": new_params, "batch_stats": new_stats}
-        (mu_c, logvar_c, mu_s, logvar_s), _ = model.apply(
-            variables, x, train=True, method="encode",
-            mutable=["batch_stats"])
-        mu = jnp.concatenate([mu_c, mu_s], -1)
-        logvar = jnp.concatenate([logvar_c, logvar_s], -1)
+        # statistic, a documented deviation). ``reuse_phase1_encode`` goes one
+        # step further (opt-in, default off): skip the re-encode and train
+        # the estimator on the PRE-update params' latents (one-step stale) —
+        # a measured-perf deviation from reference semantics, A/B'd in
+        # BASELINE.md.
+        if mim_cfg.reuse_phase1_encode:
+            mu_c, logvar_c = lp1["mu_c"], lp1["logvar_c"]
+            mu_s, logvar_s = lp1["mu_s"], lp1["logvar_s"]
+        else:
+            variables = {"params": new_params, "batch_stats": new_stats}
+            (mu_c, logvar_c, mu_s, logvar_s), _ = model.apply(
+                variables, x, train=True, method="encode",
+                mutable=["batch_stats"])
+        mu = jax.lax.stop_gradient(jnp.concatenate([mu_c, mu_s], -1))
+        logvar = jax.lax.stop_gradient(
+            jnp.concatenate([logvar_c, logvar_s], -1))
         zd = mu_c.shape[-1]
 
         def inner(carry, k):
@@ -408,9 +417,14 @@ def make_clear_mim_step(model, mi_estimator, tx, mi_tx, anneal_cfg,
             up, mi_opt = mi_tx.update(g, mi_opt, mi_params)
             return (optax.apply_updates(mi_params, up), mi_opt), l
 
+        # unroll=inner_steps: the round-4 MIM trace showed the scan's while
+        # bookkeeping alone cost ~39 us/step (while.282/while.290 — ~half
+        # the MIM-vs-flagship device-time gap); unrolling 5 tiny-MLP
+        # updates into straight-line code removes it at identical numerics
+        # (the sequential Adam chain is preserved)
         (mi_params, mi_opt), inner_losses = jax.lax.scan(
             inner, (state.aux_params, state.aux_opt_state),
-            jax.random.split(k_inner, inner_steps))
+            jax.random.split(k_inner, inner_steps), unroll=inner_steps)
         metrics["mi_learning_loss"] = inner_losses[-1]
         return state.replace(
             params=new_params, batch_stats=new_stats, opt_state=opt_state,

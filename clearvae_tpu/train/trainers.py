@@ -497,7 +497,10 @@ class ClearMIMVAETrainer(VAETrainerBase):
         contr = C.ContrastiveConfig(alpha=hyperparameter["alpha"],
                                     temperature=hyperparameter["temperature"],
                                     sim_fn=sim_fn)
-        mim = C.MIMConfig(la=hyperparameter["lambda"])
+        mim = C.MIMConfig(
+            la=hyperparameter["lambda"],
+            reuse_phase1_encode=bool(
+                hyperparameter.get("reuse_phase1_encode", False)))
         self.train_step = S.make_clear_mim_step(model, mi_estimator, self.tx,
                                                 self.mi_tx, anneal, contr, mim)
         self.eval_step = S.make_clear_mim_eval_step(model, mi_estimator, contr)

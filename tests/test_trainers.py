@@ -402,3 +402,38 @@ def test_perf_mode_zoo_trains_and_evaluates():
     fn_h, kw_h = zoo["gvae"]
     th = fn_h(**kw_h)
     assert th.model.fused_heads
+
+
+def test_mim_reuse_phase1_encode_opt_in(data):
+    """reuse_phase1_encode (opt-in perf deviation, BASELINE.md round-4 MIM
+    A/B) must train, produce finite metrics, and actually change the
+    estimator trajectory vs the default re-encode path (one-step-stale
+    latents), while the default stays the reference-shaped path."""
+    tr, _ = data
+
+    import optax
+
+    from clearvae_tpu.models.mi_estimators import MI_ESTIMATORS
+    from clearvae_tpu.models.vae import VAE
+    from clearvae_tpu.train.trainers import ClearMIMVAETrainer
+
+    def fit(reuse):
+        t = ClearMIMVAETrainer(
+            VAE(total_z_dim=16),
+            MI_ESTIMATORS["CLUBSample"](x_dim=8, y_dim=8, hidden_size=16),
+            optimizers={"vae_optim": optax.adam(5e-4),
+                        "mi_estimator_optim": optax.adam(2e-3)},
+            sim_fn="cosine",
+            hyperparameter={"temperature": 0.1, "beta": 1 / 8, "loc": 0,
+                            "scale": 1, "alpha": 100.0, "lambda": 3.0,
+                            "reuse_phase1_encode": reuse},
+            seed=7)
+        mi_losses, mi_learning = t.fit(1, tr, batch_size=32, use_scan=True)
+        assert np.all(np.isfinite(mi_learning)), mi_learning
+        return np.asarray(mi_learning)
+
+    base = fit(False)
+    reuse = fit(True)
+    # same seed, same data: the stale-latent path must diverge from the
+    # re-encode path (they see different z draws for the estimator)
+    assert not np.allclose(base, reuse)

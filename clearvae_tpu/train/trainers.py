@@ -93,7 +93,8 @@ class TrainerCore:
     def fit(self, epochs: int, train_ds, valid_ds=None, batch_size: int = 128,
             use_scan: bool | None = None, checkpoint_dir: str | None = None,
             checkpoint_every: int = 10, logger=None, epochs_per_scan: int = 1,
-            style_on_device: bool = False, scan_unroll: int = 1):
+            style_on_device: bool = False, scan_unroll: int = 1,
+            scan_gather: str = "take"):
         """Train. ``use_scan`` (default on) fuses every epoch into one
         donated XLA program via lax.scan over HBM-resident data — the
         TPU-native fast path. Under a mesh the data is sample-sharded over
@@ -111,7 +112,10 @@ class TrainerCore:
         (utils.logging.MetricLogger) per-epoch metrics and images/sec stream
         to JSONL. ``scan_unroll`` > 1 unrolls that many scanned steps into
         the loop body (equivalent up to float reassociation; see
-        make_epoch_fn).
+        make_epoch_fn). ``scan_gather="permute_slice"`` materializes each
+        epoch's shuffled batches with ONE bulk gather instead of per-step
+        in-scan gathers (same batches/order — see make_epoch_fn; costs one
+        epoch-sized HBM copy).
 
         ``style_on_device=True`` (StyledDataset only) skips materializing the
         styled float32 copy entirely: each batch is corrupted ON THE FLY
@@ -139,6 +143,10 @@ class TrainerCore:
             if not isinstance(self._epoch_fn, dict):
                 self._epoch_fn = {}
             if styled_path:
+                if scan_gather != "take":
+                    raise ValueError("scan_gather is not supported on the "
+                                     "style_on_device path (styling keys off "
+                                     "per-batch sample ids)")
                 fkey = ("styled", train_ds.styles, train_ds.seed, scan_unroll)
                 if fkey not in self._epoch_fn:
                     self._epoch_fn[fkey] = S.make_styled_epoch_fn(
@@ -146,12 +154,13 @@ class TrainerCore:
                         base_seed=train_ds.seed, mesh=self.mesh,
                         unroll=scan_unroll)
             else:
-                fkey = (multi, scan_unroll)
+                fkey = (multi, scan_unroll, scan_gather)
                 if fkey not in self._epoch_fn:
                     make = S.make_multi_epoch_fn if multi else S.make_epoch_fn
                     self._epoch_fn[fkey] = make(self.train_step.core,
                                                 mesh=self.mesh,
-                                                unroll=scan_unroll)
+                                                unroll=scan_unroll,
+                                                gather=scan_gather)
 
         if use_scan:
             style_args = ()

@@ -77,6 +77,25 @@ def main():
         return jax.lax.scan(body, state, (bi, keys))
 
     @partial(jax.jit, donate_argnums=(0,))
+    def epoch_pre(state, data, lb, bi, rng):
+        # permute-once: ONE big [k*B] row gather up front, then the scan
+        # consumes contiguous [B] slices (scan xs slicing is free). Same
+        # batches/order as epoch4 — only the materialization strategy
+        # differs. Tests whether k interleaved in-scan gathers underutilize
+        # HBM bandwidth vs a single bulk gather.
+        keys = jax.random.split(rng, k)
+        flat = bi.reshape(-1)
+        xs = jnp.take(data, flat, axis=0).reshape(k, b, s, s, 1)
+        ls = jnp.take(lb, flat, axis=0).reshape(k, b)
+
+        def body(st, inp):
+            xb, lbb, kk = inp
+            st, m = step.core(st, xb, lbb, kk)
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, (xs, ls, keys))
+
+    @partial(jax.jit, donate_argnums=(0,))
     def epoch_oh(state, data, lb, bi, rng):
         # MXU gather: one-hot [B, N] @ [N, F] materializes the batch as a
         # matmul; labels still use the (tiny) row gather
@@ -94,6 +113,7 @@ def main():
 
     for name, fn, data in [("gather_nhwc", epoch4, data4),
                            ("gather_flat", epoch2, data2),
+                           ("gather_permute_slice", epoch_pre, data4),
                            ("gather_onehot_mxu", epoch_oh, data2)]:
         st = jax.tree.map(jnp.copy, state0)
         st, loss = fn(st, data, labels, idx, jax.random.key(0))

@@ -150,7 +150,8 @@ def _make_state_and_step(kind: str, dtype, z_dim: int, size: int,
 def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
                    z_dim: int = Z_DIM, size: int = 28, in_ch: int = 1,
                    target_window_images: int = 1_200_000, n_images: int = N_IMAGES,
-                   fused_heads: bool = False, unroll: int = 1):
+                   fused_heads: bool = False, unroll: int = 1,
+                   gather: str = "take"):
     """Returns median images/sec/chip over 3 timing windows for one config.
 
     The production fast path: HBM-resident data, a whole block of epochs
@@ -183,7 +184,8 @@ def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
                                                 shard_batch)
 
         mesh = make_mesh()
-    epoch_fn = make_multi_epoch_fn(step.core, mesh=mesh, unroll=unroll)
+    epoch_fn = make_multi_epoch_fn(step.core, mesh=mesh, unroll=unroll,
+                                   gather=gather)
     data = jnp.asarray(data)
     lbl = jnp.asarray(labels)
     if mesh is not None:
@@ -340,6 +342,14 @@ EXTRA_CONFIGS = {
     "perf_mode_b2048_bf16": (dict(dtype="bf16", batch=2048, n_images=8192,
                                   target_window_images=2_500_000),
                              dict(batch=2048)),
+    # permute-once batch materialization A/B twin of the row above (the
+    # b2048 trace attributes 41% of device time to the in-scan gathers;
+    # scan_gather="permute_slice" replaces them with one bulk gather per
+    # epoch — see train/steps.make_epoch_fn)
+    "perf_mode_b2048_bf16_permute": (
+        dict(dtype="bf16", batch=2048, n_images=8192,
+             target_window_images=2_500_000, gather="permute_slice"),
+        dict(batch=2048)),
     # best measured 28px config (round-3 scaling curve peak + fused heads)
     "perf_mode_b512_bf16_fusedheads": (
         dict(dtype="bf16", batch=512, fused_heads=True,

@@ -30,7 +30,7 @@ run() {
   now=$(date +%s)
   tmo=$(( DEADLINE_EPOCH - now - 300 ))
   if (( tmo < 900 )); then
-    echo "=== $name SKIPPED (<15 min left before deadline) ==="; return
+    echo "=== $name SKIPPED (<20 min left before deadline) ==="; return
   fi
   echo "=== $name start $(date -u +%H:%M:%S) (timeout ${tmo}s): $* ==="
   local t0=$SECONDS

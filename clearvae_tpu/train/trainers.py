@@ -115,7 +115,10 @@ class TrainerCore:
         make_epoch_fn). ``scan_gather="permute_slice"`` materializes each
         epoch's shuffled batches with ONE bulk gather instead of per-step
         in-scan gathers (same batches/order — see make_epoch_fn; costs one
-        epoch-sized HBM copy).
+        epoch-sized HBM copy). Measured SLOWER than the default ``"take"``
+        (−14% at B=512, −35% at B=2048 bf16 28px — the bulk copy doubles
+        the HBM gather traffic it was meant to save; BASELINE.md round-4
+        gather A/B); kept as a documented negative result.
 
         ``style_on_device=True`` (StyledDataset only) skips materializing the
         styled float32 copy entirely: each batch is corrupted ON THE FLY

@@ -17,6 +17,8 @@ import os
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dir", default="./expr_output/celeba/classification")
+    p.add_argument("--prefix", default="celeba",
+                   help="result-file prefix ({prefix}-k{k}-{seed}.json)")
     p.add_argument("--seed", type=int, default=900)
     p.add_argument("--k_max", type=int, default=3)
     args = p.parse_args()
@@ -24,8 +26,8 @@ def main():
     print("| k | model | default acc / mAP / mAUC | perf acc / mAP / mAUC |")
     print("|---|---|---|---|")
     for k in range(1, args.k_max + 1):
-        base_p = os.path.join(args.dir, f"celeba-k{k}-{args.seed}.json")
-        perf_p = os.path.join(args.dir, f"celeba-k{k}-{args.seed}-perf.json")
+        base_p = os.path.join(args.dir, f"{args.prefix}-k{k}-{args.seed}.json")
+        perf_p = os.path.join(args.dir, f"{args.prefix}-k{k}-{args.seed}-perf.json")
         if not (os.path.exists(base_p) and os.path.exists(perf_p)):
             print(f"| {k} | (missing: "
                   f"{[q for q in (base_p, perf_p) if not os.path.exists(q)]})"

@@ -64,14 +64,15 @@ def load_chexpert(data_root: str, data_file, disease_name: str,
 
 def synthetic_chexpert(n: int, seed: int = 0,
                        image_size: int = 64) -> ArrayDataset:
-    rng = np.random.RandomState(seed)
-    labels = rng.randint(0, 4, n)
-    styles = rng.randint(0, 6, n)
-    yy, xx = np.mgrid[0:image_size, 0:image_size] / image_size
-    imgs = np.empty((n, image_size, image_size, 1), np.float32)
-    for i in range(n):
-        lung = np.exp(-(((xx - 0.3) ** 2) / 0.03)) + np.exp(-(((xx - 0.7) ** 2) / 0.03))
-        base = 0.2 + 0.5 * lung * np.sin(np.pi * yy)
-        base += 0.1 * labels[i] / 4 + 0.03 * styles[i] / 6
-        imgs[i, ..., 0] = np.clip(base + 0.05 * rng.rand(*base.shape), 0, 1)
+    """Round-5 discriminative stand-in (synth64.synthetic_chexpert64):
+    procedural chest films with radiological content cues and 6 drastic
+    (sex, age) acquisition-domain styles, calibrated with the torch-CNN
+    proxy (scripts/calibrate_chexpert.py — in-dist content 0.785, style
+    1.000, held-one-style-out 0.60-0.70). Replaces the null-ish rounds-2..4
+    generator (2.5% global brightness offsets; its campaign is archived
+    under expr_output/chexpert/classification_nullgen/). Do NOT pool
+    results across the two generators."""
+    from clearvae_tpu.data.synth64 import synthetic_chexpert64
+
+    imgs, labels, styles = synthetic_chexpert64(n, seed, image_size)
     return ArrayDataset(imgs, labels, styles)

@@ -452,3 +452,163 @@ def synthetic_camelyon64(n: int, seed: int, image_size: int = 64):
         imgs[i] = style_stain(g, rng, st["hue"], st["dark"], st["blur"])
     return imgs, labels.astype(np.int64), styles.astype(np.int64)
 
+
+
+# ---------------------------------------------------------------------------
+# CheXpert stand-in (round 5): discriminative content + drastic styles
+# ---------------------------------------------------------------------------
+#
+# The round-2..4 CheXpert stand-in (data/chexpert.py synthetic_chexpert)
+# encoded the outcome as a 2.5%-of-range global brightness offset and the
+# (sex, age) style as an even smaller one — a null-ish protocol where CLEAR
+# ties the group-evidence baselines at every k (VERDICT r4 weak #7). This
+# redesign applies the same calibration method as the round-3 CelebA/PACS
+# generators above (BASELINE.md "64×64 protocol redesign"):
+#
+# - **content** = radiological findings of the 'Pleural Effusion' outcome
+#   classes (reference generate_chexpert_labels, data_utils.py:216-219):
+#   0 negative = clear costophrenic angles; 1 positive = large bright basal
+#   fluid wedge with a meniscus; 2 uncertain = small faint basal haze
+#   (jitter-overlapping class 1 — the fine-grained pair); 3 not-mentioned =
+#   no effusion but cardiomegaly (widened heart shadow). All cues are
+#   low-frequency luminance structure that survives every style transform
+#   (the round-3 lesson: shape-only cues die under drastic styling).
+# - **style** = (sex, age-group) ∈ 6 acquisition/processing domains, each a
+#   drastic texture/contrast transform with CONSISTENT luminance polarity
+#   (lungs/opacities stay brighter than ground — a polarity flip collapses
+#   every model to 0.0 OOD, measured in round 3), plus sex-specific anatomy
+#   (breast shadows vs wide clavicle bars) and age-specific rib density so
+#   the style is recognizable from anatomy as well as texture.
+
+
+def _thorax_grid(rng, size: int):
+    """Jittered body-pose coordinate grid (rotation/scale/shift)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64) / size
+    a = np.deg2rad(rng.uniform(-5, 5))
+    s = rng.uniform(0.92, 1.06)
+    dx, dy = rng.uniform(-0.03, 0.03, 2)
+    x = (np.cos(a) * (xx - 0.5) - np.sin(a) * (yy - 0.5)) / s + 0.5 + dx
+    y = (np.sin(a) * (xx - 0.5) + np.cos(a) * (yy - 0.5)) / s + 0.5 + dy
+    return x, y
+
+
+def _ellipse_mask(x, y, cx, cy, rx, ry, soft=0.015):
+    d = np.sqrt(((x - cx) / rx) ** 2 + ((y - cy) / ry) ** 2)
+    return np.clip((1.0 - d) / soft * rx, 0, 1)
+
+
+def render_chest(rng, size: int, outcome: int, sex: int,
+                 age: int) -> np.ndarray:
+    """Grayscale chest-film stand-in; outcome ∈ 0..3 content (see module
+    comment), sex ∈ {0 female, 1 male}, age ∈ {0,1,2} (2 = calcified ribs)."""
+    x, y = _thorax_grid(rng, size)
+    img = np.full_like(x, 0.10)                       # air / background
+    torso = _ellipse_mask(x, y, 0.5, 0.58, 0.46, 0.52)
+    img += 0.10 * torso                               # soft tissue
+    # lung fields (bright on film)
+    lungs = np.zeros_like(x)
+    lung_cy = 0.44 + rng.uniform(-0.01, 0.01)
+    for sx, lcx in ((-1, 0.315), (1, 0.685)):
+        lcx += rng.uniform(-0.012, 0.012)
+        rx = 0.145 + rng.uniform(-0.01, 0.01)
+        ry = 0.235 + rng.uniform(-0.012, 0.012)
+        lungs = np.maximum(lungs, _ellipse_mask(x, y, lcx, lung_cy, rx, ry))
+    diaphragm = np.clip((y - (0.655 + rng.uniform(-0.012, 0.012))) / 0.02,
+                        0, 1)
+    lungs = lungs * (1 - 0.85 * diaphragm)
+    img += 0.52 * lungs
+    # rib arcs (brighter, calcified, when age group = 65+)
+    rib_gain = 0.10 + (0.10 if age == 2 else 0.0) + rng.uniform(-0.02, 0.02)
+    phase = rng.uniform(0, 0.04)
+    ribs = 0.5 + 0.5 * np.cos(2 * np.pi * ((y + 0.10 * (x - 0.5) ** 2
+                                            - phase) / 0.085))
+    img += rib_gain * np.clip(ribs * 2 - 1.4, 0, 1) * lungs
+    # clavicle bars: male = wide bright bars across the apices
+    if sex == 1:
+        clav = _ellipse_mask(x, y, 0.5, 0.255 + rng.uniform(-0.01, 0.01),
+                             0.30, 0.022 + rng.uniform(-0.004, 0.004))
+        img += 0.22 * clav
+    # heart shadow (darker than lung); cardiomegaly for outcome 3
+    heart_rx = 0.105 + rng.uniform(-0.008, 0.008)
+    if outcome == 3:
+        heart_rx *= 1.5 + rng.uniform(-0.08, 0.08)
+    heart = _ellipse_mask(x, y, 0.565 + rng.uniform(-0.01, 0.01),
+                          0.555 + rng.uniform(-0.01, 0.01),
+                          heart_rx, 0.16 + rng.uniform(-0.01, 0.01))
+    img -= 0.30 * heart * lungs
+    # pleural effusion: bright basal fluid wedge with a meniscus curve
+    if outcome in (1, 2):
+        side = rng.randint(0, 2) * 2 - 1              # -1 left, +1 right
+        lcx = 0.5 + side * 0.185
+        if outcome == 1:                              # large, dense
+            level = 0.545 + rng.uniform(-0.03, 0.03)
+            dens = 0.55 + rng.uniform(-0.08, 0.08)
+        else:                                         # small, faint
+            level = 0.615 + rng.uniform(-0.025, 0.025)
+            dens = 0.30 + rng.uniform(-0.07, 0.07)
+        meniscus = level + 0.12 * np.abs(x - lcx) ** 1.5 * 3
+        fluid = np.clip((y - meniscus) / 0.015, 0, 1) * (1 - diaphragm)
+        in_lung = _ellipse_mask(x, y, lcx, lung_cy, 0.155, 0.245)
+        img += dens * fluid * in_lung
+    # breast shadows: female = curved soft-tissue arcs over the lower lungs
+    if sex == 0:
+        for sx in (-1, 1):
+            bcx = 0.5 + sx * (0.19 + rng.uniform(-0.01, 0.01))
+            arc = _ellipse_mask(x, y, bcx, 0.60 + rng.uniform(-0.01, 0.01),
+                                0.13, 0.085, soft=0.05)
+            img += 0.13 * arc
+    img += 0.015 * rng.randn(*img.shape)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def _box_blur(g: np.ndarray, k: int) -> np.ndarray:
+    if k <= 0:
+        return g
+    gp = np.pad(g, k, mode="edge")
+    acc = np.zeros_like(g)
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            acc += gp[k + dy:k + dy + g.shape[0], k + dx:k + dx + g.shape[1]]
+    return acc / (2 * k + 1) ** 2
+
+
+def chex_style(idx: int, g: np.ndarray, rng) -> np.ndarray:
+    """6 drastic grayscale acquisition domains, indexed by the reference's
+    (sex, age) style code (CHEXPERT_ATTR2STYLES). All preserve luminance
+    polarity; each has distinct texture/contrast statistics."""
+    gain = rng.uniform(0.92, 1.08)
+    if idx == 0:       # (F, <45) plain film
+        out = g * gain + 0.03 * rng.randn(*g.shape)
+    elif idx == 1:     # (F, 45-64) posterized high-contrast
+        q = np.round(np.clip(g * gain, 0, 1) * 4) / 4
+        out = np.clip(q, 0, 1) ** 0.65 + 0.02 * rng.randn(*g.shape)
+    elif idx == 2:     # (F, 65+) low-dose: heavy noise + slight blur
+        out = _box_blur(g, 1) * 0.9 * gain + 0.12 * rng.randn(*g.shape)
+    elif idx == 3:     # (M, <45) edge-enhanced (unsharp mask)
+        out = g + 1.8 * (g - _box_blur(g, 2))
+        out = np.clip(out * gain, 0, 1) + 0.03 * rng.randn(*g.shape)
+    elif idx == 4:     # (M, 45-64) detector grid: scan-line texture
+        rows = np.arange(g.shape[0])[:, None]
+        period = rng.randint(5, 8)
+        stripe = 1.0 - 0.38 * ((rows % period) < 2)
+        out = (np.clip(g, 0, 1) ** 1.25) * stripe * gain
+        out = out + 0.02 * rng.randn(*g.shape)
+    else:              # (M, 65+) soft blurred film with vignette
+        yy, xx = np.mgrid[0:g.shape[0], 0:g.shape[1]] / g.shape[0]
+        r2 = (xx - 0.5) ** 2 + (yy - 0.5) ** 2
+        vign = 1.0 - 0.9 * np.clip(r2 * 2.4 - 0.25, 0, 1)
+        out = _box_blur(g, 2) * 1.15 * gain * vign
+        out = out + 0.03 * rng.randn(*g.shape)
+    return np.clip(out, 0, 1).astype(np.float32)
+
+
+def synthetic_chexpert64(n: int, seed: int, image_size: int = 64):
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, 4, n)
+    styles = rng.randint(0, 6, n)
+    imgs = np.empty((n, image_size, image_size, 1), np.float32)
+    for i in range(n):
+        sex, age = int(styles[i]) // 3, int(styles[i]) % 3
+        g = render_chest(rng, image_size, int(labels[i]), sex, age)
+        imgs[i, ..., 0] = chex_style(int(styles[i]), g, rng)
+    return imgs, labels.astype(np.int64), styles.astype(np.int64)

@@ -20,7 +20,8 @@ import numpy as np
 from clearvae_tpu.data.chexpert import load_chexpert, synthetic_chexpert
 from clearvae_tpu.data.common import (kstyle_train_test_split,
                                       train_valid_split_array)
-from clearvae_tpu.experiments.common import run_model_zoo, save_results
+from clearvae_tpu.experiments.common import (filter_models, run_model_zoo,
+                                             save_results)
 from clearvae_tpu.experiments.downstream64 import model_zoo64
 
 
@@ -34,6 +35,12 @@ def get_args(argv=None):
     p.add_argument("--alpha", type=float, default=1e2)
     p.add_argument("--temperature", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--vae_lr", type=float, default=3e-5,
+                   help="reference 64×64 default 3e-5; the synthetic "
+                        "campaigns use 1e-4 (optimization-state fix, "
+                        "BASELINE.md round-3 calibration)")
+    p.add_argument("--models", type=str, nargs="*", default=None,
+                   help="subset of zoo model names (calibration runs)")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--epochs_per_scan", type=int, default=1)
     # 4096 is the campaign protocol size (CLAUDE.md): every committed seed
@@ -68,7 +75,7 @@ def main(argv=None):
     seed = args.seed if args.seed is not None else int(np.random.randint(0, 1000))
     ds = get_chexpert(args.data_root_path, args.csv, args.disease,
                       args.n_synthetic, seed, args.max_images)
-    trainer_kwargs = {"beta": 1 / 32, "vae_lr": 3e-5, "z_dim": 64,
+    trainer_kwargs = {"beta": 1 / 32, "vae_lr": args.vae_lr, "z_dim": 64,
                       "alpha": args.alpha, "temperature": args.temperature}
     classes = sorted(np.unique(ds.labels).tolist())
     styles = sorted(np.unique(ds.style_idx).tolist())
@@ -79,6 +86,7 @@ def main(argv=None):
         train, valid = train_valid_split_array(train_full, 0.85, seed)
         models = model_zoo64(len(classes), trainer_kwargs, seed,
                              in_channel=1, perf_mode=args.perf_mode)
+        models = filter_models(models, args.models)
         suffix = "-perf" if args.perf_mode else ""
         fpath = f"{args.out}/chexpert-k{k}-{seed}{suffix}.json"
         results = run_model_zoo(models, train, valid, test, args.epochs,

@@ -363,6 +363,8 @@ def main():
 
     from clearvae_tpu.utils.cache import enable_compilation_cache
 
+    from clearvae_tpu.utils.lock import acquire_tpu_lock
+    acquire_tpu_lock()  # explicit: not coupled to the cache call (VERDICT r4 #7)
     enable_compilation_cache()
 
     def _dtype(v):

@@ -70,6 +70,8 @@ def get_chexpert(data_root, csv, disease, n_synthetic, seed, max_images):
 
 def main(argv=None):
     from clearvae_tpu.utils.cache import enable_compilation_cache
+    from clearvae_tpu.utils.lock import acquire_tpu_lock
+    acquire_tpu_lock()  # explicit: not coupled to the cache call (VERDICT r4 #7)
     enable_compilation_cache()
     args = get_args(argv)
     seed = args.seed if args.seed is not None else int(np.random.randint(0, 1000))

@@ -87,6 +87,8 @@ def build_trainer(args):
 
 def main(argv=None):
     from clearvae_tpu.utils.cache import enable_compilation_cache
+    from clearvae_tpu.utils.lock import acquire_tpu_lock
+    acquire_tpu_lock()  # explicit: not coupled to the cache call (VERDICT r4 #7)
     enable_compilation_cache()
     args = get_args(argv)
     os.makedirs(args.out, exist_ok=True)

@@ -76,6 +76,8 @@ def plot(traces: dict, ps: bool, path: str):
 
 def main(argv=None):
     from clearvae_tpu.utils.cache import enable_compilation_cache
+    from clearvae_tpu.utils.lock import acquire_tpu_lock
+    acquire_tpu_lock()  # explicit: not coupled to the cache call (VERDICT r4 #7)
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--n_samples", type=int, default=1500)

@@ -695,3 +695,107 @@ def test_tpu_lock_single_process_discipline(tmp_path):
     finally:
         hold.kill()
         hold.wait()
+
+
+def test_fit_acquires_tpu_lock(monkeypatch):
+    """TrainerCore.fit and DownstreamMLPTrainer.fit take the single-TPU
+    -process lock themselves (VERDICT r4 weak #5: the discipline must not
+    depend on the runner having called enable_compilation_cache)."""
+    import optax
+
+    from clearvae_tpu.models.vae import VAE
+    from clearvae_tpu.train.trainers import (CLEARVAETrainer,
+                                             DownstreamMLPTrainer)
+    from clearvae_tpu.utils import lock as L
+
+    calls = []
+    monkeypatch.setattr(L, "acquire_tpu_lock",
+                        lambda label=None, path=L.LOCK_PATH:
+                        calls.append(label) or False)
+    hp = {"temperature": 0.1, "alpha": 100.0, "beta": 1 / 8, "ps": True}
+    t = CLEARVAETrainer(VAE(total_z_dim=16), optax.adam(5e-4), "cosine", hp,
+                        seed=0)
+    ds = _tiny_ds(n=32)
+    t.fit(1, ds, batch_size=16, use_scan=True)
+    assert calls and calls[0] == "CLEARVAETrainer.fit"
+
+    calls.clear()
+    probe = DownstreamMLPTrainer(t, n_class=10, seed=0)
+    probe.fit(1, ds, batch_size=16)
+    assert calls and calls[0] == "DownstreamMLPTrainer.fit"
+
+
+def test_checkpoint_roundtrip_dp_mesh(tmp_path):
+    """Save a DP-placed (replicated) TrainState mid-campaign, restore into a
+    FRESH mesh trainer, resume, and assert numeric continuation vs an
+    uninterrupted run (VERDICT r4 weak #6)."""
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.data.styled import make_styled_mnist
+    from clearvae_tpu.train.factories import get_clearvae_trainer
+
+    imgs, labels = synthetic_mnist(64, seed=4)
+    ds = make_styled_mnist(imgs, labels, seed=4)
+    kw = dict(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16, alpha=100.0,
+              temperature=0.1, seed=5)
+
+    # uninterrupted 3-epoch run on the 8-device mesh
+    ref = get_clearvae_trainer(**kw, mesh=make_mesh(8))
+    ref.fit(3, ds, batch_size=16, use_scan=True)
+
+    # interrupted twin: 2 epochs -> checkpoint (sharded state) -> fresh
+    # process-level trainer restores and runs the third epoch
+    t1 = get_clearvae_trainer(**kw, mesh=make_mesh(8))
+    t1.fit(2, ds, batch_size=16, use_scan=True,
+           checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=1)
+    assert jax.tree.leaves(t1.state.params)[0].sharding.mesh.size == 8
+
+    t2 = get_clearvae_trainer(**kw, mesh=make_mesh(8))
+    t2.restore_checkpoint(str(tmp_path / "ck"))
+    assert int(t2.state.step) == int(t1.state.step)
+    t2.fit(1, ds, batch_size=16, use_scan=True, start_epoch=2)
+
+    assert int(t2.state.step) == int(ref.state.step)
+    for a, b in zip(jax.tree.leaves(ref.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)
+
+
+def test_checkpoint_roundtrip_tp_sharded(tmp_path):
+    """Save a TP-sharded TrainState (weights + Adam state split over the
+    'model' axis), restore into a fresh host-side template, re-place on the
+    2-D mesh, and assert the next step matches the original's."""
+    import optax
+
+    from clearvae_tpu.config import AnnealConfig, ContrastiveConfig
+    from clearvae_tpu.parallel.tp import make_mesh2d, shard_state_tp
+    from clearvae_tpu.train.steps import init_vae_state, make_clear_vae_step
+    from clearvae_tpu.utils.checkpoint import (latest_checkpoint,
+                                               restore_checkpoint,
+                                               save_checkpoint)
+
+    model = VAE(total_z_dim=16)
+    tx = optax.adam(5e-4)
+    mesh2 = make_mesh2d(4, 2)
+    state = shard_state_tp(
+        mesh2, init_vae_state(model, tx, jax.random.key(0), 28, 1))
+    step = make_clear_vae_step(model, tx, AnnealConfig(),
+                               ContrastiveConfig())
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(16, 28, 28, 1), jnp.float32)
+    label = jnp.asarray(rs.randint(0, 10, 16))
+    state, _ = step(state, x, label, jax.random.key(1))  # one step in
+
+    save_checkpoint(str(tmp_path / "ck"), state)
+    template = init_vae_state(model, tx, jax.random.key(2), 28, 1)  # fresh
+    restored = restore_checkpoint(latest_checkpoint(str(tmp_path / "ck")),
+                                  template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    restored = shard_state_tp(mesh2, restored)
+    s1, m1 = step(state, x, label, jax.random.key(3))
+    s2, m2 = step(restored, x, label, jax.random.key(3))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)

@@ -583,15 +583,17 @@ def chex_style(idx: int, g: np.ndarray, rng) -> np.ndarray:
         q = np.round(np.clip(g * gain, 0, 1) * 4) / 4
         out = np.clip(q, 0, 1) ** 0.65 + 0.02 * rng.randn(*g.shape)
     elif idx == 2:     # (F, 65+) low-dose: heavy noise + slight blur
-        out = _box_blur(g, 1) * 0.9 * gain + 0.12 * rng.randn(*g.shape)
+        # noise sigma calibrated DOWN from 0.12 (first cut): with 6 drastic
+        # styles the k=2 cell showed no CLEAR separation — transfer too hard
+        out = _box_blur(g, 1) * 0.9 * gain + 0.09 * rng.randn(*g.shape)
     elif idx == 3:     # (M, <45) edge-enhanced (unsharp mask)
         out = g + 1.8 * (g - _box_blur(g, 2))
         out = np.clip(out * gain, 0, 1) + 0.03 * rng.randn(*g.shape)
     elif idx == 4:     # (M, 45-64) detector grid: scan-line texture
         rows = np.arange(g.shape[0])[:, None]
         period = rng.randint(5, 8)
-        stripe = 1.0 - 0.38 * ((rows % period) < 2)
-        out = (np.clip(g, 0, 1) ** 1.25) * stripe * gain
+        stripe = 1.0 - 0.28 * ((rows % period) < 2)  # 0.38 -> 0.28, see idx 2
+        out = (np.clip(g, 0, 1) ** 1.15) * stripe * gain
         out = out + 0.02 * rng.randn(*g.shape)
     else:              # (M, 65+) soft blurred film with vignette
         yy, xx = np.mgrid[0:g.shape[0], 0:g.shape[1]] / g.shape[0]

@@ -159,9 +159,17 @@ def center_affine(a1: float, a2: float, b1: float, b2: float,
 
 
 def resize_bilinear(img: Array, out_h: int, out_w: int) -> Array:
-    """scipy.ndimage.zoom(order=1)-style bilinear resize with edge alignment
-    matching zoom factor = out/in (used by clipped_zoom)."""
-    return jax.image.resize(img, (out_h, out_w), method="linear")
+    """scipy.ndimage.zoom(order=1)-equivalent bilinear resize (used by
+    clipped_zoom → zoom_blur). scipy's zoom maps output index i to input
+    coordinate i·(in−1)/(out−1) — the align-corners convention (verified
+    against scipy 1.x numerically; jax.image.resize 'linear' uses the
+    half-pixel convention instead and differs by up to 0.08 at zoom 1.3)."""
+    h, w = img.shape
+    rr = (jnp.arange(out_h, dtype=jnp.float32)[:, None]
+          * ((h - 1) / max(out_h - 1, 1))) * jnp.ones((1, out_w), jnp.float32)
+    cc = (jnp.arange(out_w, dtype=jnp.float32)[None, :]
+          * ((w - 1) / max(out_w - 1, 1))) * jnp.ones((out_h, 1), jnp.float32)
+    return bilinear_sample(img, rr, cc, mode="edge")
 
 
 def resize_area(img: Array, out_h: int, out_w: int) -> Array:

@@ -228,3 +228,140 @@ def test_style_keyed_reproducibility():
     a = C.batched_style(xb, idx, jax.random.key(9))
     b = C.batched_style(xb, idx, jax.random.key(9))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Real-library oracles (VERDICT r4 item 2): cv2, PIL and scipy ARE installed
+# in this container, so the kernels the reference built on them are tested
+# against the actual libraries, not just formula re-derivations. Only
+# wand/ImageMagick (motion_blur, snow) and skimage itself are unavailable.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_img():
+    from clearvae_tpu.data.mnist import synthetic_mnist
+
+    imgs, _ = synthetic_mnist(2, seed=0)
+    return np.asarray(imgs[0], np.float32)  # [28, 28] in 0..255
+
+
+def test_defocus_blur_vs_cv2_oracle():
+    """defocus_blur == the reference's cv2 composition exactly: identical
+    disk kernel (built via cv2.GaussianBlur, corruptions.py:100-112) and
+    cv2.filter2D's default BORDER_REFLECT_101 (corruptions.py:304-312)."""
+    import cv2
+
+    x255 = _oracle_img()
+    for sev in range(1, 6):
+        radius, alias = [(3, 0.1), (4, 0.5), (6, 0.5), (8, 0.5),
+                         (10, 0.5)][sev - 1]
+        L = np.arange(-8, 9) if radius <= 8 else np.arange(-radius, radius + 1)
+        ksize = (3, 3) if radius <= 8 else (5, 5)
+        X, Y = np.meshgrid(L, L)
+        disk = ((X ** 2 + Y ** 2) <= radius ** 2).astype(np.float32)
+        disk /= disk.sum()
+        kern = cv2.GaussianBlur(disk, ksize=ksize, sigmaX=alias)
+        ref = np.clip(cv2.filter2D(x255 / 255.0, -1, kern), 0, 1) * 255
+        ours = np.asarray(C.defocus_blur(x255, severity=sev))
+        np.testing.assert_allclose(ours, ref, atol=1e-3,
+                                   err_msg=f"severity {sev}")
+
+
+def test_gaussian_blur_vs_scipy_oracle():
+    """gaussian_blur == scipy.ndimage.gaussian_filter with skimage's
+    defaults (mode='nearest', truncate=4.0 — skimage.filters.gaussian is a
+    thin wrapper over this exact scipy call; reference corruptions.py:300)."""
+    from scipy.ndimage import gaussian_filter as sgf
+
+    x255 = _oracle_img()
+    for sev in range(1, 6):
+        c = [1, 2, 3, 4, 6][sev - 1]
+        ref = np.clip(sgf(x255 / 255.0, sigma=c, mode="nearest",
+                          truncate=4.0), 0, 1) * 255
+        ours = np.asarray(C.gaussian_blur(x255, severity=sev))
+        np.testing.assert_allclose(ours, ref, atol=1e-3,
+                                   err_msg=f"severity {sev}")
+
+
+def test_zoom_blur_vs_scipy_oracle():
+    """zoom_blur == the reference composition over scipy.ndimage.zoom
+    (order=1, align-corners convention — corruptions.py:187-199,519-530)."""
+    from scipy.ndimage import zoom as scizoom
+
+    def ref_clipped_zoom(img, zf):
+        h = img.shape[0]
+        ch = int(np.ceil(h / float(zf)))
+        top = (h - ch) // 2
+        img = scizoom(img[top:top + ch, top:top + ch], (zf, zf), order=1)
+        trim = (img.shape[0] - h) // 2
+        return img[trim:trim + h, trim:trim + h]
+
+    x255 = _oracle_img()
+    x01 = x255 / 255.0
+    for sev in (1, 3, 5):
+        cs = [np.arange(1, 1.11, 0.01), None, np.arange(1, 1.21, 0.02),
+              None, np.arange(1, 1.31, 0.03)][sev - 1]
+        acc = np.zeros_like(x01)
+        for z in cs:
+            acc += ref_clipped_zoom(x01, float(z))
+        ref = np.clip((x01 + acc) / (len(cs) + 1), 0, 1) * 255
+        ours = np.asarray(C.zoom_blur(x255, severity=sev))
+        np.testing.assert_allclose(ours, ref, atol=1e-3,
+                                   err_msg=f"severity {sev}")
+
+
+def test_jpeg_vs_real_pil_codec():
+    """jpeg_compression vs PIL's REAL JPEG encoder (the reference is a
+    plain save-to-JPEG round-trip, corruptions.py:483-491). Our kernel is a
+    single-pass 8×8 DCT quantization with the libjpeg quality→table scaling
+    — not a bit-exact codec — so the oracle pins the measured gap: RMSE < 5
+    (0..255 scale) and PSNR > 35 dB at every severity."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    x255 = _oracle_img()
+    for sev, q in zip(range(1, 6), [25, 18, 15, 10, 7]):
+        buf = BytesIO()
+        Image.fromarray(x255.astype(np.uint8)).save(buf, "JPEG", quality=q)
+        ref = np.asarray(Image.open(buf), np.float32)
+        ours = np.asarray(C.jpeg_compression(x255, severity=sev))
+        rmse = float(np.sqrt(np.mean((ours - ref) ** 2)))
+        psnr = 10 * np.log10(255.0 ** 2 / max(np.mean((ours - ref) ** 2),
+                                              1e-12))
+        assert rmse < 5.0 and psnr > 35.0, (sev, q, rmse, psnr)
+
+
+def test_elastic_components_vs_scipy_oracle():
+    """elastic_transform's two numeric engines vs scipy on identical inputs:
+    bilinear_sample == ndimage.map_coordinates(order=1, mode='constant')
+    and the displacement smoothing == ndimage.gaussian_filter(mode='reflect',
+    truncate=3) (reference corruptions.py:531-547; the random field itself
+    is keyed jax.random and is covered statistically elsewhere)."""
+    from scipy.ndimage import gaussian_filter as sgf
+    from scipy.ndimage import map_coordinates
+
+    from clearvae_tpu.ops.image import bilinear_sample, gaussian_filter
+
+    x01 = _oracle_img() / 255.0
+    rs_ = np.random.RandomState(0)
+    field = rs_.uniform(-1, 1, (28, 28)).astype(np.float32)
+    for sigma in (28 * 0.7, 28 * 0.08, 28 * 0.01):
+        ref = sgf(field, sigma, mode="reflect", truncate=3.0)
+        ours = np.asarray(gaussian_filter(jnp.asarray(field), float(sigma),
+                                          mode="reflect", truncate=3.0))
+        np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=str(sigma))
+
+    dx = sgf(rs_.uniform(-1, 1, (28, 28)), 2.8, mode="reflect",
+             truncate=3.0) * 5
+    dy = sgf(rs_.uniform(-1, 1, (28, 28)), 2.8, mode="reflect",
+             truncate=3.0) * 5
+    yy, xx = np.meshgrid(np.arange(28), np.arange(28), indexing="ij")
+    ref = map_coordinates(x01, (np.reshape(yy + dy, (-1, 1)),
+                                np.reshape(xx + dx, (-1, 1))),
+                          order=1, mode="constant").reshape(28, 28)
+    ours = np.asarray(bilinear_sample(jnp.asarray(x01),
+                                      jnp.asarray(yy + dy, jnp.float32),
+                                      jnp.asarray(xx + dx, jnp.float32),
+                                      cval=0.0, mode="constant"))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

@@ -100,7 +100,8 @@ def clear_vae_train_flops_per_image(z_dim: int = Z_DIM, batch: int = BATCH,
 
 
 def _make_state_and_step(kind: str, dtype, z_dim: int, size: int,
-                         in_ch: int, fused_heads: bool = False):
+                         in_ch: int, fused_heads: bool = False,
+                         model_kwargs: dict | None = None):
     import jax
     import optax
 
@@ -112,6 +113,7 @@ def _make_state_and_step(kind: str, dtype, z_dim: int, size: int,
     kw = {"dtype": dtype} if dtype is not None else {}
     if fused_heads:
         kw["fused_heads"] = True
+    kw.update(model_kwargs or {})
     cls = VAE64 if size >= 64 else VAE
     model = cls(total_z_dim=z_dim, in_channel=in_ch, **kw)
     tx = optax.adam(5e-4)
@@ -151,7 +153,7 @@ def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
                    z_dim: int = Z_DIM, size: int = 28, in_ch: int = 1,
                    target_window_images: int = 1_200_000, n_images: int = N_IMAGES,
                    fused_heads: bool = False, unroll: int = 1,
-                   gather: str = "take"):
+                   gather: str = "take", model_kwargs: dict | None = None):
     """Returns median images/sec/chip over 3 timing windows for one config.
 
     The production fast path: HBM-resident data, a whole block of epochs
@@ -176,7 +178,8 @@ def measure_config(kind: str = "clear", dtype=None, batch: int = BATCH,
         labels = rs.randint(0, 10, n_images)
 
     model, state, step = _make_state_and_step(kind, dtype, z_dim, size, in_ch,
-                                              fused_heads=fused_heads)
+                                              fused_heads=fused_heads,
+                                              model_kwargs=model_kwargs)
 
     mesh = None
     if jax.device_count() > 1:
@@ -353,6 +356,18 @@ EXTRA_CONFIGS = {
     # best measured 28px config (round-3 scaling curve peak + fused heads)
     "perf_mode_b512_bf16_fusedheads": (
         dict(dtype="bf16", batch=512, fused_heads=True,
+             target_window_images=2_000_000),
+        dict(batch=512)),
+    # VERDICT r4 weak #1 formulation attempt: first conv as the 2×2-block
+    # im2col matmul (models/layers.Conv1MXUPack — K 9→25, N 32→128 on the
+    # MXU at 2.8× the conv1 FLOPs). A/B twins of the parity row and the
+    # best-28px row; flops kwargs stay the REAL conv FLOPs so mfu stays
+    # comparable (the extra pack FLOPs are overhead, not useful work).
+    "clear_28_convpack": (
+        dict(model_kwargs={"first_conv_pack": True}), dict()),
+    "perf_mode_b512_bf16_fh_convpack": (
+        dict(dtype="bf16", batch=512, fused_heads=True,
+             model_kwargs={"first_conv_pack": True},
              target_window_images=2_000_000),
         dict(batch=512)),
 }

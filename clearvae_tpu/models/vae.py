@@ -79,6 +79,10 @@ class VAE(nn.Module):
     # and init distribution (DenseTorch init depends only on fan_in), but a
     # different param tree — NOT checkpoint-compatible with the default.
     fused_heads: bool = False
+    # perf experiment: first encoder conv as the 2×2-block im2col matmul
+    # (layers.Conv1MXUPack — identical numerics, better MXU fill on paper;
+    # bench.py `clear_28_convpack` measures whether it wins in practice)
+    first_conv_pack: bool = False
 
     # architecture hooks overridden by VAE64
     enc_channels: Sequence[int] = (32, 64, 128)
@@ -93,7 +97,8 @@ class VAE(nn.Module):
 
     def setup(self):
         self.encoder = ConvBNReluStack(self.enc_channels, self.enc_kernel, 2, 1,
-                                       dtype=self.dtype)
+                                       dtype=self.dtype,
+                                       first_conv_pack=self.first_conv_pack)
         if self.fused_heads:
             self.latent_heads = DenseTorch(4 * self.z_dim)
         else:

@@ -411,11 +411,21 @@ def main():
 
     base_ips = get_torch_baseline()
     vs = flag_ips / base_ips if np.isfinite(base_ips) else None
+    # stamp the exact baseline (value + its measurement provenance) into the
+    # output so every vs_baseline ratio is traceable to the denominator it
+    # used (round-4 advisor finding: three bench runs silently divided by
+    # three different cache values)
+    try:
+        with open(BASELINE_CACHE) as f:
+            base_stamp = json.load(f)
+    except Exception:
+        base_stamp = {"torch_cpu_images_per_sec": base_ips}
     print(json.dumps({
         "metric": "styledmnist_clearvae_train_images_per_sec_per_chip",
         "value": round(flag_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "baseline_used": base_stamp,
         "mfu": configs["clear_28_f32"]["mfu"],
         "peak_flops_assumed": V5E_PEAK_FLOPS,
         "configs": configs,

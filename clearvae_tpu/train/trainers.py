@@ -209,8 +209,12 @@ class TrainerCore:
         # keys in between (no valid_ds; in-fit validation consumes extra keys).
         end_epoch = start_epoch + epochs
         if start_epoch:
-            consumed = (-(-start_epoch // epochs_per_scan) if use_scan
-                        else start_epoch * n_batches)
+            if use_scan:
+                consumed = -(-start_epoch // epochs_per_scan)
+            else:
+                # eager path: one key per batch; shuffled batches drop the
+                # ragged tail (data/common.ArrayDataset.batches drop_last)
+                consumed = start_epoch * (len(train_ds) // batch_size)
             for _ in range(consumed):
                 self._next_rng()
         epoch = start_epoch

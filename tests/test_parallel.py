@@ -799,3 +799,32 @@ def test_checkpoint_roundtrip_tp_sharded(tmp_path):
     s2, m2 = step(restored, x, label, jax.random.key(3))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
+
+
+def test_checkpoint_resume_eager_path(tmp_path):
+    """start_epoch resume on the NON-scan (eager per-batch) path: the rng
+    fast-forward there is per-batch, not per-block."""
+    from clearvae_tpu.data.mnist import synthetic_mnist
+    from clearvae_tpu.data.styled import make_styled_mnist
+    from clearvae_tpu.train.factories import get_clearvae_trainer
+
+    imgs, labels = synthetic_mnist(48, seed=4)
+    ds = make_styled_mnist(imgs, labels, seed=4)
+    kw = dict(beta=1 / 8, ps=True, vae_lr=5e-4, z_dim=16, alpha=100.0,
+              temperature=0.1, seed=5)
+
+    ref = get_clearvae_trainer(**kw)
+    ref.fit(3, ds, batch_size=16, use_scan=False)
+
+    t1 = get_clearvae_trainer(**kw)
+    t1.fit(2, ds, batch_size=16, use_scan=False)
+    t1.save_checkpoint(str(tmp_path / "ck"))
+    t2 = get_clearvae_trainer(**kw)
+    t2.restore_checkpoint(str(tmp_path / "ck"))
+    t2.fit(1, ds, batch_size=16, use_scan=False, start_epoch=2)
+
+    assert int(t2.state.step) == int(ref.state.step)
+    for a, b in zip(jax.tree.leaves(ref.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)

@@ -382,6 +382,113 @@ def stage_gvae():
     return results
 
 
+def stage_tc():
+    """CLEAR-TC parity: (a) the real `make_clear_tc_step`'s phase-1 metrics
+    (incl. the relu(log(d/(1−d))) == relu(logit) TC penalty) vs the exact
+    reference composition (trainer.py:629-676) with identical weights/eps;
+    (b) the discriminator BCE on one shared z: our
+    sigmoid_binary_cross_entropy-on-logits formula vs the reference's
+    BCELoss(sigmoid) + factor_shuffling (trainer.py:679-699)."""
+    import optax
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from clearvae_tpu.config import (AnnealConfig, ContrastiveConfig,
+                                     TCConfig)
+    from clearvae_tpu.models.factor import FactorCls
+    from clearvae_tpu.train.steps import (factor_shuffling, init_vae_state,
+                                          make_clear_tc_step)
+    from src.losses import contrastive_loss as t_contrastive
+    from src.losses import vae_loss as t_vae_loss
+    from src.trainer import LogisticAnnealer
+    from src.trainer import factor_shuffling as t_factor_shuffling
+
+    model, variables, tvae = make_pair()
+    x, label = styled_batch(BATCH)
+    rng = jax.random.key(21)
+
+    factor = FactorCls(z_dim=Z_TOTAL)
+    fparams = factor.init(jax.random.key(3),
+                          jnp.zeros((2, Z_TOTAL)))["params"]
+    # torch twin of the factor classifier (trainer_utils.py:133-138)
+    tfactor = tnn.Sequential(tnn.Linear(Z_TOTAL, Z_TOTAL), tnn.ReLU(),
+                             tnn.Linear(Z_TOTAL, 1), tnn.Sigmoid())
+    tfactor.load_state_dict({
+        "0.weight": torch.from_numpy(
+            np.asarray(fparams["DenseTorch_0"]["Dense_0"]["kernel"]).T.copy()),
+        "0.bias": torch.from_numpy(
+            np.asarray(fparams["DenseTorch_0"]["Dense_0"]["bias"]).copy()),
+        "2.weight": torch.from_numpy(
+            np.asarray(fparams["DenseTorch_1"]["Dense_0"]["kernel"]).T.copy()),
+        "2.bias": torch.from_numpy(
+            np.asarray(fparams["DenseTorch_1"]["Dense_0"]["bias"]).copy()),
+    })
+
+    tx, ftx = optax.adam(5e-4), optax.adam(1e-4)
+    state = init_vae_state(model, tx, jax.random.key(0), 28, 1,
+                           aux_model=factor, aux_tx=ftx,
+                           aux_shapes=[(2, Z_TOTAL)])
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"],
+                          aux_params=fparams)
+    step = make_clear_tc_step(model, factor, tx, ftx,
+                              AnnealConfig(beta=1 / 8),
+                              ContrastiveConfig(alpha=1e2, temperature=0.1),
+                              TCConfig(la=1.0))
+    _, metrics = step(state, jnp.asarray(x), jnp.asarray(label), rng)
+    ours = {k: float(v) for k, v in metrics.items()}
+
+    # (a) phase-1: same weights, same eps (the step splits rng and uses the
+    # FIRST key for the vae phase — reproduce that split)
+    k_vae, _ = jax.random.split(rng)
+    _, _, z_ours, eps_c, eps_s = derive_eps(model, variables, x, k_vae)
+    inject_eps(tvae, [eps_c, eps_s])
+    tvae.train()
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    lt = torch.from_numpy(label)
+    ann = LogisticAnnealer(loc=0, scale=1, beta=1 / 8)
+    X_hat, latent_params, zt = tvae(xt, explicit=True)
+    _reconstr, _kl_c, _kl_s = t_vae_loss(X_hat, xt, **latent_params)
+    _c = t_contrastive(mu=latent_params["mu_c"],
+                       logvar=latent_params["logvar_c"], label=lt,
+                       sim_fn="cosine", temperature=0.1)
+    d_score = tfactor(zt)
+    _mi = F.relu(torch.log(d_score / (1 - d_score))).mean()
+    loss = _reconstr + ann(_kl_c) + ann(_kl_s) + 1e2 * _c + 1.0 * _mi
+    theirs = {"recon": float(_reconstr), "kl_c": float(_kl_c),
+              "kl_s": float(_kl_s), "c_loss": float(_c),
+              "mi_loss": float(_mi), "loss": float(loss)}
+    for k in theirs:
+        rel = abs(ours[k] - theirs[k]) / max(1e-6, abs(theirs[k]))
+        assert rel < 1e-3, (k, ours[k], theirs[k])
+    print(f"stage tc [phase-1 incl. relu-logit TC penalty]: loss "
+          f"{ours['loss']:.4f} == {theirs['loss']:.4f}")
+
+    # (b) discriminator BCE on one shared z (formula-level: the real step's
+    # phase-2 z is internal to the fused program)
+    z_shared = np.asarray(z_ours)
+    l_joint = factor.apply({"params": fparams}, jnp.asarray(z_shared), True)
+    l_marg = factor.apply({"params": fparams},
+                          factor_shuffling(jnp.asarray(z_shared)), True)
+    logits = jnp.concatenate([l_joint, l_marg], 0)
+    target = jnp.concatenate([jnp.ones_like(l_joint),
+                              jnp.zeros_like(l_marg)], 0)
+    ours_d = float(jnp.mean(
+        optax.sigmoid_binary_cross_entropy(logits, target)))
+    zt2 = torch.from_numpy(z_shared)
+    dj = tfactor(zt2)
+    dm = tfactor(t_factor_shuffling(zt2))
+    theirs_d = float(tnn.BCELoss()(
+        torch.cat([dj, dm], 0),
+        torch.cat([torch.ones_like(dj), torch.zeros_like(dm)], 0)))
+    assert abs(ours_d - theirs_d) / abs(theirs_d) < 1e-4, (ours_d, theirs_d)
+    print(f"stage tc [discriminator BCE + factor_shuffling]: "
+          f"{ours_d:.6f} == {theirs_d:.6f}")
+    return {"phase1": {"ours": ours, "reference": theirs},
+            "disc_bce": [ours_d, theirs_d]}
+
+
 def _copy_estimator(flax_params, test_module):
     """flax _MuLogvarNet params -> torch p_mu/p_logvar Sequentials."""
     import torch
@@ -709,7 +816,7 @@ def stage_trajectory(out_dir: str, epochs: int = 10, n: int = 2048):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", default="all",
-                   choices=["layers", "first_step", "gvae", "mim",
+                   choices=["layers", "first_step", "gvae", "tc", "mim",
                             "trajectory", "all"])
     p.add_argument("--out", default="expr_output/validation/reference_twin")
     args = p.parse_args()
@@ -723,6 +830,10 @@ def main():
     if args.stage in ("gvae", "all"):
         res = stage_gvae()
         with open(os.path.join(args.out, "gvae_first_step.json"), "w") as f:
+            json.dump(res, f, indent=1)
+    if args.stage in ("tc", "all"):
+        res = stage_tc()
+        with open(os.path.join(args.out, "tc_parity.json"), "w") as f:
             json.dump(res, f, indent=1)
     if args.stage in ("mim", "all"):
         res = stage_mim()

@@ -358,6 +358,14 @@ EXTRA_CONFIGS = {
         dict(dtype="bf16", batch=512, fused_heads=True,
              target_window_images=2_000_000),
         dict(batch=512)),
+    # round-5 best 28px: + scan unroll (4 scanned steps inlined per loop
+    # iteration — same math up to float reassociation; +4.3% measured over
+    # the unroll=1 twin, .runs/r5_unroll_ab.log / expr_output/perf/
+    # unroll_ab_r5.json)
+    "perf_mode_b512_bf16_fh_unroll4": (
+        dict(dtype="bf16", batch=512, fused_heads=True, unroll=4,
+             target_window_images=2_000_000),
+        dict(batch=512)),
     # VERDICT r4 weak #1 formulation attempt: first conv as the 2×2-block
     # im2col matmul (models/layers.Conv1MXUPack — K 9→25, N 32→128 on the
     # MXU at 2.8× the conv1 FLOPs). A/B twins of the parity row and the

@@ -279,3 +279,17 @@ def test_illustrate_runner_tiny(tmp_path):
     a = plt.imread(tmp_path / "example-data.png")
     b = plt.imread(tmp_path / "b" / "example-data.png")
     assert a.shape == b.shape and (a == b).all()
+
+
+def test_synthetic_chexpert_deterministic_in_seed():
+    """The round-5 discriminative generator is bit-reproducible in seed
+    (campaign resume/regeneration depends on it) and seed-sensitive."""
+    a = synthetic_chexpert(48, seed=7)
+    b = synthetic_chexpert(48, seed=7)
+    c = synthetic_chexpert(48, seed=8)
+    import numpy as _np
+
+    _np.testing.assert_array_equal(a.images, b.images)
+    _np.testing.assert_array_equal(a.labels, b.labels)
+    _np.testing.assert_array_equal(a.style_idx, b.style_idx)
+    assert _np.abs(a.images - c.images).max() > 0.1
